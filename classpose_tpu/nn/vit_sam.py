@@ -1,0 +1,348 @@
+"""ClassTransformer: ViT-L SAM image encoder with flow-field and semantic
+class heads, in JAX/flax.
+
+TPU-first rebuild of the capability defined by the reference
+(/root/reference/src/classpose/vit_sam.py:81-197 and the cellpose
+``vit_sam.Transformer`` base class it extends):
+
+- patch embed: conv ps×ps stride ps (ps=8) on a 256² crop → 32×32 tokens of
+  width 1024 (ViT-L), plus an absolute positional embedding;
+- 24 transformer blocks with *global* (windowless) attention using the SAM
+  decomposed relative-position bias (reference flash_forward,
+  vit_sam.py:15-65);
+- neck: 1×1 conv → LayerNorm2d → 3×3 conv → LayerNorm2d down to 256 ch;
+- ``out`` head: 1×1 conv to 3·ps² channels, then a *fixed identity*
+  pixel-shuffle readout to full resolution (the reference materializes this
+  as a frozen conv_transpose weight W2; here it is a free reshape —
+  mathematically identical, zero FLOPs);
+- ``out_class`` head (n_cell_classes>1): 1×1 conv or a small UNet to
+  n_classes·ps² channels, pixel-shuffled via the frozen identity W3
+  (vit_sam.py:139-144,182-195);
+- output is ``concat((class_logits, seg_out), channel)`` of shape
+  (B, n_classes+3, H, W), plus a 256-d style vector. The reference's style
+  is literally random noise kept for API compatibility (vit_sam.py:197);
+  here it is zeros (deterministic, and equally meaningless downstream).
+- training-time random layer-drop with a per-sample Bernoulli mask ramping
+  linearly 0→rdrop over depth (vit_sam.py:165-173).
+
+All compute is NHWC internally (TPU-native); the public call contract takes
+and returns NCHW to match the reference network contract.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from classpose_tpu.nn.unet import UNet
+
+
+@dataclasses.dataclass(frozen=True)
+class ClassTransformerConfig:
+    """Architecture hyperparameters (ViT-L SAM defaults used by cellpose)."""
+
+    backbone: str = "vit_l"
+    ps: int = 8
+    nout: int = 3
+    bsize: int = 256
+    rdrop: float = 0.4
+    n_cell_classes: int = 1
+    feature_transformation_structure: Sequence[int] | None = None
+    embed_dim: int = 1024
+    depth: int = 24
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    neck_dim: int = 256
+    dtype: str = "float32"  # compute dtype; params are always fp32
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    @property
+    def tokens_hw(self) -> int:
+        return self.bsize // self.ps
+
+
+def get_rel_pos(q_size: int, k_size: int, rel_pos: jnp.ndarray) -> jnp.ndarray:
+    """Select (and if needed linearly resize) relative positional embeddings.
+
+    Equivalent to segment-anything's ``get_rel_pos`` used by the reference at
+    vit_sam.py:40-41: returns (q_size, k_size, head_dim) where entry (i, j)
+    is ``rel_pos[i - j + k_size - 1]`` (after optional interpolation to
+    2·max(q,k)−1 entries).
+    """
+    max_rel_dist = 2 * max(q_size, k_size) - 1
+    if rel_pos.shape[0] != max_rel_dist:
+        # linear interpolation along the positions axis
+        x_old = jnp.linspace(0.0, 1.0, rel_pos.shape[0])
+        x_new = jnp.linspace(0.0, 1.0, max_rel_dist)
+        idx = jnp.searchsorted(x_old, x_new, side="right") - 1
+        idx = jnp.clip(idx, 0, rel_pos.shape[0] - 2)
+        t = (x_new - x_old[idx]) / (x_old[idx + 1] - x_old[idx])
+        rel_pos = rel_pos[idx] * (1 - t)[:, None] + rel_pos[idx + 1] * t[:, None]
+    q_coords = jnp.arange(q_size)[:, None] * max(k_size / q_size, 1.0)
+    k_coords = jnp.arange(k_size)[None, :] * max(q_size / k_size, 1.0)
+    rel = (q_coords - k_coords) + (k_size - 1) * max(q_size / k_size, 1.0)
+    return rel_pos[rel.astype(jnp.int32)]
+
+
+class Attention(nn.Module):
+    """Global multi-head attention with SAM decomposed rel-pos bias.
+
+    Input/output: (B, H, W, C) token grids. Matches the math of the
+    reference's flash_forward (vit_sam.py:15-65): softmax over
+    q·kᵀ·scale + rel_h ⊕ rel_w with the bias computed from *unscaled* q.
+    """
+
+    num_heads: int
+    use_rel_pos: bool = True
+    input_size: tuple[int, int] = (32, 32)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        L = H * W
+        head_dim = C // self.num_heads
+        scale = head_dim**-0.5
+
+        qkv = nn.Dense(3 * C, use_bias=True, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B, L, 3, self.num_heads, head_dim)
+        q, k, v = jnp.moveaxis(qkv, 2, 0)  # (B, L, heads, hd) each
+        q = jnp.swapaxes(q, 1, 2)  # (B, heads, L, hd)
+        k = jnp.swapaxes(k, 1, 2)
+        v = jnp.swapaxes(v, 1, 2)
+
+        attn = jnp.einsum(
+            "bnld,bnmd->bnlm", q * scale, k,
+            preferred_element_type=jnp.float32,
+        )
+
+        if self.use_rel_pos:
+            rel_pos_h = self.param(
+                "rel_pos_h",
+                nn.initializers.zeros,
+                (2 * self.input_size[0] - 1, head_dim),
+                jnp.float32,
+            )
+            rel_pos_w = self.param(
+                "rel_pos_w",
+                nn.initializers.zeros,
+                (2 * self.input_size[1] - 1, head_dim),
+                jnp.float32,
+            )
+            Rh = get_rel_pos(H, H, rel_pos_h).astype(self.dtype)
+            Rw = get_rel_pos(W, W, rel_pos_w).astype(self.dtype)
+            q_hw = q.reshape(B, self.num_heads, H, W, head_dim)
+            rel_h = jnp.einsum(
+                "bnhwc,hkc->bnhwk", q_hw, Rh,
+                preferred_element_type=jnp.float32,
+            )
+            rel_w = jnp.einsum(
+                "bnhwc,wkc->bnhwk", q_hw, Rw,
+                preferred_element_type=jnp.float32,
+            )
+            attn = attn.reshape(B, self.num_heads, H, W, H, W)
+            attn = attn + rel_h[..., :, None] + rel_w[..., None, :]
+            attn = attn.reshape(B, self.num_heads, L, L)
+
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+        attn = attn.astype(self.dtype)
+        out = jnp.einsum(
+            "bnlm,bnmd->bnld", attn, v, preferred_element_type=jnp.float32
+        ).astype(self.dtype)
+        out = jnp.swapaxes(out, 1, 2).reshape(B, H, W, C)
+        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
+
+class MLPBlock(nn.Module):
+    mlp_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        x = nn.Dense(self.mlp_dim, dtype=self.dtype, name="lin1")(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(d, dtype=self.dtype, name="lin2")(x)
+
+
+class Block(nn.Module):
+    """Pre-norm transformer block (SAM image-encoder style, windowless)."""
+
+    num_heads: int
+    mlp_ratio: float
+    input_size: tuple[int, int]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        shortcut = x
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        y = Attention(
+            self.num_heads,
+            input_size=self.input_size,
+            dtype=self.dtype,
+            name="attn",
+        )(y)
+        x = shortcut + y
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        y = MLPBlock(int(x.shape[-1] * self.mlp_ratio), self.dtype, name="mlp")(y)
+        return x + y
+
+
+class LayerNorm2d(nn.Module):
+    """Channel-wise LayerNorm over the last (channel) axis of NHWC maps,
+    matching SAM's LayerNorm2d (normalizes across channels per pixel)."""
+
+    epsilon: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        weight = self.param("weight", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(axis=-1, keepdims=True)
+        var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * weight + bias).astype(self.dtype)
+
+
+def pixel_shuffle(x: jnp.ndarray, ps: int, n_channels: int) -> jnp.ndarray:
+    """Depth-to-space readout equivalent to the reference's frozen identity
+    conv_transpose (W2/W3, vit_sam.py:139-144,182-190).
+
+    conv_transpose2d(x, eye(C·ps²).reshape(C·ps², C, ps, ps), stride=ps)
+    places input channel c·ps²+dy·ps+dx at output channel c, offset (dy,dx) —
+    i.e. exactly this reshape. Input (B, H, W, C·ps²) NHWC → (B, H·ps, W·ps,
+    C).
+    """
+    B, H, W, _ = x.shape
+    x = x.reshape(B, H, W, n_channels, ps, ps)
+    x = jnp.transpose(x, (0, 1, 4, 2, 5, 3))  # B, H, dy, W, dx, C
+    return x.reshape(B, H * ps, W * ps, n_channels)
+
+
+class ImageEncoderViT(nn.Module):
+    cfg: ClassTransformerConfig
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, rdrop_rng=None):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        thw = cfg.tokens_hw
+
+        x = nn.Conv(
+            cfg.embed_dim,
+            (cfg.ps, cfg.ps),
+            strides=(cfg.ps, cfg.ps),
+            padding="VALID",
+            dtype=dt,
+            name="patch_embed",
+        )(x)
+
+        pos_embed = self.param(
+            "pos_embed",
+            nn.initializers.normal(0.02),
+            (1, thw, thw, cfg.embed_dim),
+            jnp.float32,
+        )
+        x = x + pos_embed.astype(dt)
+
+        blocks = [
+            Block(
+                cfg.num_heads,
+                cfg.mlp_ratio,
+                (thw, thw),
+                dtype=dt,
+                name=f"blocks_{i}",
+            )
+            for i in range(cfg.depth)
+        ]
+        if train and cfg.rdrop > 0 and rdrop_rng is not None:
+            # per-sample random layer-drop ramping 0→rdrop over depth
+            # (reference vit_sam.py:165-173)
+            p = jnp.linspace(0.0, cfg.rdrop, cfg.depth)
+            drop = (
+                jax.random.uniform(rdrop_rng, (x.shape[0], cfg.depth)) < p
+            ).astype(dt)
+            for i, blk in enumerate(blocks):
+                m = drop[:, i][:, None, None, None]
+                x = x * m + blk(x) * (1 - m)
+        else:
+            for blk in blocks:
+                x = blk(x)
+
+        # neck: 1x1 conv → LN2d → 3x3 conv → LN2d
+        x = nn.Conv(
+            cfg.neck_dim, (1, 1), use_bias=False, dtype=dt, name="neck_conv1"
+        )(x)
+        x = LayerNorm2d(dtype=dt, name="neck_ln1")(x)
+        x = nn.Conv(
+            cfg.neck_dim,
+            (3, 3),
+            padding=1,
+            use_bias=False,
+            dtype=dt,
+            name="neck_conv2",
+        )(x)
+        x = LayerNorm2d(dtype=dt, name="neck_ln2")(x)
+        return x
+
+
+class ClassTransformer(nn.Module):
+    """Flow-field + semantic class network (reference vit_sam.py:81-197).
+
+    Call contract (matching the torch net): input (B, 3, H, W); returns
+    ``(out, style)`` where out is (B, n_cell_classes+3, H, W) when
+    n_cell_classes > 1 (class logits first, then [flowY, flowX, cellprob])
+    else (B, 3, H, W), and style is (B, 256) zeros.
+    """
+
+    cfg: ClassTransformerConfig
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, rdrop_rng=None):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        x = jnp.transpose(x, (0, 2, 3, 1)).astype(dt)  # NCHW → NHWC
+
+        feats = ImageEncoderViT(cfg, name="encoder")(
+            x, train=train, rdrop_rng=rdrop_rng
+        )
+
+        seg = nn.Conv(
+            cfg.nout * cfg.ps**2, (1, 1), dtype=dt, name="out"
+        )(feats)
+        seg = pixel_shuffle(seg, cfg.ps, cfg.nout)
+
+        if cfg.n_cell_classes > 1:
+            if cfg.feature_transformation_structure is not None:
+                cls = UNet(
+                    out_channels=cfg.n_cell_classes * cfg.ps**2,
+                    n_channels=tuple(cfg.feature_transformation_structure),
+                    dtype=dt,
+                    name="out_class",
+                )(feats)
+            else:
+                cls = nn.Conv(
+                    cfg.n_cell_classes * cfg.ps**2,
+                    (1, 1),
+                    dtype=dt,
+                    name="out_class",
+                )(feats)
+            cls = pixel_shuffle(cls, cfg.ps, cfg.n_cell_classes)
+            out = jnp.concatenate([cls, seg], axis=-1)
+        else:
+            out = seg
+
+        out = jnp.transpose(out, (0, 3, 1, 2))  # NHWC → NCHW contract
+        style = jnp.zeros((x.shape[0], 256), dtype=jnp.float32)
+        return out, style

@@ -1,0 +1,121 @@
+"""Dynamics tests: GT flow generation and instance recovery on synthetic
+images with known ground truth (disk-shaped "cells")."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from classpose_tpu.dynamics import (
+    compute_masks,
+    fill_holes_and_remove_small_masks,
+    labels_to_flows,
+    masks_to_flows,
+)
+
+
+def make_disks(shape=(128, 128), centers=((32, 32), (64, 90), (100, 40)),
+               radius=12):
+    gt = np.zeros(shape, np.int32)
+    yy, xx = np.mgrid[: shape[0], : shape[1]]
+    for i, (cy, cx) in enumerate(centers, start=1):
+        gt[(yy - cy) ** 2 + (xx - cx) ** 2 <= radius**2] = i
+    return gt
+
+
+def iou_matrix(gt, pred):
+    gids = np.unique(gt)[1:]
+    pids = np.unique(pred)[1:]
+    M = np.zeros((len(gids), len(pids)))
+    for a, g in enumerate(gids):
+        gm = gt == g
+        for b, p in enumerate(pids):
+            pm = pred == p
+            M[a, b] = (gm & pm).sum() / ((gm | pm).sum() + 1e-9)
+    return M
+
+
+def test_flows_are_unit_and_point_inward():
+    gt = make_disks()
+    out = labels_to_flows(gt)
+    assert out.shape == (4, 128, 128)
+    inst, binary, fy, fx = out
+    np.testing.assert_array_equal(binary, (gt > 0).astype(np.float32))
+    mag = np.sqrt(fy**2 + fx**2)
+    fg = gt > 0
+    assert mag[fg].min() > 0.9  # unit vectors on instance pixels
+    assert mag[~fg].max() < 1e-6
+    # flows point toward each disk center: displacement reduces distance
+    yy, xx = np.mgrid[:128, :128]
+    for i, (cy, cx) in enumerate([(32, 32), (64, 90), (100, 40)], start=1):
+        m = (gt == i) & ((yy - cy) ** 2 + (xx - cx) ** 2 > 9)
+        d0 = np.sqrt((yy - cy) ** 2 + (xx - cx) ** 2)[m]
+        d1 = np.sqrt(
+            (yy + fy - cy) ** 2 + (xx + fx - cx) ** 2
+        )[m]
+        assert (d1 < d0).mean() > 0.95
+
+
+def test_roundtrip_masks_to_flows_to_masks():
+    """Feeding GT flows into the mask-recovery pipeline must reproduce the
+    GT instances (IoU > 0.85 one-to-one)."""
+    gt = make_disks()
+    flows = labels_to_flows(gt)
+    dP = 5.0 * flows[2:4]
+    cellprob = np.where(gt > 0, 6.0, -6.0).astype(np.float32)
+    pred = compute_masks(dP, cellprob, niter=100)
+    M = iou_matrix(gt, pred)
+    assert M.shape[0] == 3
+    assert M.shape[1] == 3, f"expected 3 instances, got {M.shape[1]}"
+    assert (M.max(axis=1) > 0.85).all()
+
+
+def test_touching_cells_separate():
+    """Two tangent disks must stay two instances (flows repel at the
+    boundary)."""
+    gt = np.zeros((96, 96), np.int32)
+    yy, xx = np.mgrid[:96, :96]
+    gt[(yy - 48) ** 2 + (xx - 34) ** 2 <= 13**2] = 1
+    m2 = (yy - 48) ** 2 + (xx - 60) ** 2 <= 13**2
+    gt[m2 & (gt == 0)] = 2
+    flows = labels_to_flows(gt)
+    pred = compute_masks(
+        5.0 * flows[2:4],
+        np.where(gt > 0, 6.0, -6.0).astype(np.float32),
+        niter=100,
+    )
+    M = iou_matrix(gt, pred)
+    assert M.shape == (2, 2)
+    assert (M.max(axis=1) > 0.75).all()
+
+
+def test_flow_threshold_removes_garbage():
+    """Random flows inside a blob should produce instances that fail the
+    flow-error QC."""
+    rng = np.random.default_rng(0)
+    gt = make_disks(centers=((64, 64),), radius=25)
+    dP = rng.normal(scale=5.0, size=(2, 128, 128)).astype(np.float32)
+    dP *= gt > 0
+    cellprob = np.where(gt > 0, 6.0, -6.0).astype(np.float32)
+    loose = compute_masks(dP, cellprob, niter=60, flow_threshold=0.0)
+    strict = compute_masks(dP, cellprob, niter=60, flow_threshold=0.4)
+    # QC must remove at least as much as it keeps
+    assert (strict > 0).sum() <= (loose > 0).sum()
+
+
+def test_min_size_and_hole_filling():
+    m = np.zeros((64, 64), np.int32)
+    m[10:30, 10:30] = 1
+    m[15:25, 15:25] = 0  # hole
+    m[40:42, 40:42] = 2  # 4 px — below min_size
+    out = fill_holes_and_remove_small_masks(m, min_size=15)
+    assert out[20, 20] == 1  # hole filled
+    assert (out == 2).sum() == 0
+    assert set(np.unique(out)) == {0, 1}
+
+
+def test_empty_input():
+    pred = compute_masks(
+        np.zeros((2, 64, 64), np.float32),
+        np.full((64, 64), -6.0, np.float32),
+    )
+    assert pred.sum() == 0

@@ -1,0 +1,297 @@
+"""Weight conversion: PyTorch Classpose/Cellpose-SAM checkpoints → JAX params.
+
+The published model weights (cpsam + the six classpose configs,
+reference model_configs.py:23-109) are torch state dicts for
+``ClassTransformer``; this module maps them onto the flax parameter tree of
+:class:`classpose_tpu.nn.ClassTransformer`, including:
+
+- ``infer_structure``-style auto-detection of the class-head kind and class
+  count from the checkpoint (mirror of reference predict_wsi.py:1377-1419:
+  UNet head iff ``out_class.encoder_blocks*`` keys exist; n_classes from
+  the W3 shape);
+- verification that the W2/W3 readout kernels are the frozen identity
+  pixel-shuffle (the JAX net implements them as a free reshape; a
+  non-identity kernel would need the conv-transpose path and is rejected
+  loudly);
+- a native ``.npz`` flat-key format for converted weights so torch is not
+  required at inference time.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from classpose_tpu.log import get_logger
+
+logger = get_logger(__name__)
+
+
+# ---------------------------------------------------------------- flat npz io
+
+def flatten_params(tree, prefix="") -> dict[str, np.ndarray]:
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}{k}" if not prefix else f"{prefix}/{k}"
+        if isinstance(v, dict):
+            out.update(flatten_params(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def unflatten_params(flat: dict[str, np.ndarray]) -> dict:
+    tree: dict = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def save_params(params: dict, path: str) -> None:
+    """Save a flax param tree as a flat .npz (native checkpoint format)."""
+    np.savez_compressed(path, **flatten_params(params))
+
+
+def load_npz_params(path: str) -> dict:
+    with np.load(path) as z:
+        return unflatten_params({k: z[k] for k in z.files})
+
+
+# ------------------------------------------------------------ structure probe
+
+def infer_structure(path: str) -> tuple[list[int] | None, int]:
+    """Detect (feature_transformation_structure, n_classes) from a
+    checkpoint (torch .pt or native .npz) — reference
+    predict_wsi.py:1377-1419 behavior."""
+    path = str(path)
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            keys = list(z.files)
+            w3 = z["W3"] if "W3" in z.files else None
+            unet_keys = [k for k in keys if "out_class/encoder_blocks" in k]
+            if w3 is not None:
+                n_classes = int(w3.shape[1])
+            else:
+                oc = [k for k in keys if k.startswith("out_class")]
+                n_classes = 1
+            structure = _unet_structure_from_keys(
+                keys, "/", zingetter=lambda k: z[k]
+            ) if unet_keys else None
+            return structure, n_classes
+    sd = _torch_load(path)
+    keys = list(sd.keys())
+    n_classes = int(sd["W3"].shape[1]) if "W3" in sd else 1
+    unet = any(k.startswith("out_class.encoder_blocks") for k in keys)
+    structure = (
+        _unet_structure_from_keys(keys, ".", lambda k: sd[k]) if unet else None
+    )
+    return structure, n_classes
+
+
+def _unet_structure_from_keys(keys, sep, zingetter) -> list[int]:
+    """Recover the UNet n_channels ladder from encoder conv shapes."""
+    chans = []
+    i = 0
+    while True:
+        k_t = f"out_class.encoder_blocks.{i}.block.conv1.weight"
+        k_n = f"out_class/encoder_blocks_{i}/block/conv1/kernel"
+        key = k_t if sep == "." else k_n
+        if key not in keys:
+            break
+        w = np.asarray(zingetter(key))
+        # torch conv (out, in, kh, kw); flax (kh, kw, in, out)
+        chans.append(int(w.shape[0] if sep == "." else w.shape[-1]))
+        i += 1
+    return chans
+
+
+def _torch_load(path: str):
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "model_state_dict" in obj:
+        obj = obj["model_state_dict"]
+    return {
+        k: v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+        for k, v in obj.items()
+    }
+
+
+# ------------------------------------------------------------- torch mapping
+
+def _is_identity_pixel_shuffle(W: np.ndarray) -> bool:
+    """True iff W (C·ps², C, ps, ps) is eye(C·ps²).reshape(...)."""
+    n = W.shape[0]
+    return bool(
+        np.array_equal(W.reshape(n, n), np.eye(n, dtype=W.dtype))
+    )
+
+
+def _conv_t2f(w: np.ndarray) -> np.ndarray:
+    """torch conv weight (out, in, kh, kw) → flax (kh, kw, in, out)."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _convtrans_t2f(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d weight (in, out, kh, kw) → flax ConvTranspose
+    kernel (kh, kw, in, out). flax's ConvTranspose (transpose_kernel=False)
+    applies the kernel mirrored relative to torch, so flip the spatial
+    taps."""
+    return np.transpose(w[:, :, ::-1, ::-1], (2, 3, 0, 1))
+
+
+def _dense_t2f(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (1, 0))
+
+
+def convert_state_dict(
+    sd: dict[str, np.ndarray],
+    depth: int = 24,
+    strict_readout: bool = True,
+) -> dict:
+    """Map a torch ClassTransformer state dict to the flax param tree."""
+    p: dict = {"encoder": {}}
+    enc = p["encoder"]
+
+    enc["patch_embed"] = {
+        "kernel": _conv_t2f(sd["encoder.patch_embed.proj.weight"]),
+        "bias": sd["encoder.patch_embed.proj.bias"],
+    }
+    enc["pos_embed"] = sd["encoder.pos_embed"]
+
+    i = 0
+    while f"encoder.blocks.{i}.norm1.weight" in sd:
+        b = {}
+        pre = f"encoder.blocks.{i}"
+        b["norm1"] = {
+            "scale": sd[f"{pre}.norm1.weight"],
+            "bias": sd[f"{pre}.norm1.bias"],
+        }
+        b["norm2"] = {
+            "scale": sd[f"{pre}.norm2.weight"],
+            "bias": sd[f"{pre}.norm2.bias"],
+        }
+        b["attn"] = {
+            "qkv": {
+                "kernel": _dense_t2f(sd[f"{pre}.attn.qkv.weight"]),
+                "bias": sd[f"{pre}.attn.qkv.bias"],
+            },
+            "proj": {
+                "kernel": _dense_t2f(sd[f"{pre}.attn.proj.weight"]),
+                "bias": sd[f"{pre}.attn.proj.bias"],
+            },
+            "rel_pos_h": sd[f"{pre}.attn.rel_pos_h"],
+            "rel_pos_w": sd[f"{pre}.attn.rel_pos_w"],
+        }
+        b["mlp"] = {
+            "lin1": {
+                "kernel": _dense_t2f(sd[f"{pre}.mlp.lin1.weight"]),
+                "bias": sd[f"{pre}.mlp.lin1.bias"],
+            },
+            "lin2": {
+                "kernel": _dense_t2f(sd[f"{pre}.mlp.lin2.weight"]),
+                "bias": sd[f"{pre}.mlp.lin2.bias"],
+            },
+        }
+        enc[f"blocks_{i}"] = b
+        i += 1
+
+    enc["neck_conv1"] = {"kernel": _conv_t2f(sd["encoder.neck.0.weight"])}
+    enc["neck_ln1"] = {
+        "weight": sd["encoder.neck.1.weight"],
+        "bias": sd["encoder.neck.1.bias"],
+    }
+    enc["neck_conv2"] = {"kernel": _conv_t2f(sd["encoder.neck.2.weight"])}
+    enc["neck_ln2"] = {
+        "weight": sd["encoder.neck.3.weight"],
+        "bias": sd["encoder.neck.3.bias"],
+    }
+
+    p["out"] = {
+        "kernel": _conv_t2f(sd["out.weight"]),
+        "bias": sd["out.bias"],
+    }
+
+    for name in ("W2", "W3"):
+        if name in sd and strict_readout:
+            if not _is_identity_pixel_shuffle(sd[name]):
+                raise ValueError(
+                    f"checkpoint {name} is not the identity pixel-shuffle; "
+                    "the JAX readout assumes the frozen identity kernel "
+                    "(reference vit_sam.py:139-144)"
+                )
+
+    if "out_class.weight" in sd:  # 1x1 conv head
+        p["out_class"] = {
+            "kernel": _conv_t2f(sd["out_class.weight"]),
+            "bias": sd["out_class.bias"],
+        }
+    elif any(k.startswith("out_class.") for k in sd):
+        p["out_class"] = _convert_unet(sd, "out_class.")
+    return {"params": p}
+
+
+def _convert_unet(sd: dict[str, np.ndarray], prefix: str) -> dict:
+    out: dict = {}
+
+    def conv(name):
+        return {
+            "kernel": _conv_t2f(sd[f"{prefix}{name}.weight"]),
+            "bias": sd[f"{prefix}{name}.bias"],
+        }
+
+    def convT(name):
+        return {
+            "kernel": _convtrans_t2f(sd[f"{prefix}{name}.weight"]),
+            "bias": sd[f"{prefix}{name}.bias"],
+        }
+
+    def block(name):
+        return {
+            "conv1": conv(f"{name}.conv1"),
+            "conv2": conv(f"{name}.conv2"),
+        }
+
+    i = 0
+    while f"{prefix}encoder_blocks.{i}.block.conv1.weight" in sd:
+        out[f"encoder_blocks_{i}"] = {
+            "block": block(f"encoder_blocks.{i}.block"),
+            "downconv": conv(f"encoder_blocks.{i}.downconv"),
+        }
+        i += 1
+    i = 0
+    while f"{prefix}decoder_blocks.{i}.block.conv1.weight" in sd:
+        out[f"decoder_blocks_{i}"] = {
+            "block": block(f"decoder_blocks.{i}.block"),
+            "upconv": convT(f"decoder_blocks.{i}.upconv"),
+        }
+        i += 1
+    out["bottleneck_down"] = {
+        "block": block("bottleneck_down.block"),
+        "downconv": conv("bottleneck_down.downconv"),
+    }
+    out["bottleneck_up"] = {
+        "block": block("bottleneck_up.block"),
+        "upconv": convT("bottleneck_up.upconv"),
+    }
+    return out
+
+
+# ------------------------------------------------------------------- loading
+
+def load_params(path: str, cfg=None) -> dict:
+    """Load network params from .npz (native) or .pt (torch, converted)."""
+    path = str(path)
+    if path.endswith(".npz"):
+        return load_npz_params(path)
+    sd = _torch_load(path)
+    params = convert_state_dict(sd)
+    logger.info(
+        "converted torch checkpoint %s (%d tensors)", path, len(sd)
+    )
+    return params

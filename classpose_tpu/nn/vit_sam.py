@@ -312,6 +312,20 @@ class ClassTransformer(nn.Module):
     def __call__(self, x, train: bool = False, rdrop_rng=None):
         cfg = self.cfg
         dt = cfg.compute_dtype
+        # fp32 parity contract: at fp32 the TPU MXU must not silently use
+        # bf16x3 passes (reference fp32 outputs are true fp32). The context
+        # manager applies at trace time, covering every matmul/conv below.
+        prec = "highest" if dt == jnp.float32 else "default"
+        ctx = jax.default_matmul_precision(prec)
+        ctx.__enter__()
+        try:
+            return self._forward_impl(x, train, rdrop_rng)
+        finally:
+            ctx.__exit__(None, None, None)
+
+    def _forward_impl(self, x, train, rdrop_rng):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
         x = jnp.transpose(x, (0, 2, 3, 1)).astype(dt)  # NCHW → NHWC
 
         feats = ImageEncoderViT(cfg, name="encoder")(

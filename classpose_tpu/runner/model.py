@@ -1,0 +1,356 @@
+"""ClassposeModel: the single-image / list segmentation API.
+
+Functional equivalent of the reference ``ClassposeModel`` wrapper
+(models.py:233-827): precision resolution, network construction + weight
+loading, ``eval`` (convert → normalize → tiled net → resample →
+flow-dynamics masks → per-instance class majority vote), and the
+``compute_class_masks`` vectorized majority vote (models.py:191-230).
+
+TPU notes: precision "bf16" is native; "fp16" is mapped to bf16 with a
+warning (TPUs have no fp16 MXU path — the reference's own bf16→fp16
+fallback logic at models.py:37-69 exists for the inverse reason on CUDA).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from classpose_tpu.dynamics import compute_masks as _dyn_compute_masks
+from classpose_tpu.log import get_logger
+from classpose_tpu.nn import ClassTransformer, ClassTransformerConfig
+from classpose_tpu.ops.normalize import NORMALIZE_DEFAULT, normalize_img
+from classpose_tpu.runner.core import TileRunner
+
+models_logger = get_logger(__name__)
+
+PRECISION_DTYPES = {"fp32": "float32", "bf16": "bfloat16", "fp16": "bfloat16"}
+
+
+def resolve_precision(precision: str) -> str:
+    """Resolve a precision flag to a JAX dtype name (models.py:37-69)."""
+    if precision not in PRECISION_DTYPES:
+        raise ValueError(
+            f"Unknown precision '{precision}'. Expected one of "
+            f"{sorted(PRECISION_DTYPES)}."
+        )
+    if precision == "fp16":
+        models_logger.warning(
+            "fp16 has no hardware path on TPU; using bf16 instead."
+        )
+    dtype = PRECISION_DTYPES[precision]
+    models_logger.info("Using inference precision: %s (%s)", precision, dtype)
+    return dtype
+
+
+def convert_image(x: np.ndarray, channel_axis: int | None = None) -> np.ndarray:
+    """Normalize an image array to (Ly, Lx, 3) float32 (cellpose
+    ``transforms.convert_image`` behavior at models.py:615-625): channel
+    axis inferred as the smallest axis ≤ 5 when not given; grayscale is
+    replicated, 2-channel zero-padded, >3 channels truncated to the first 3.
+    """
+    x = np.asarray(x)
+    if x.ndim == 2:
+        x = x[:, :, None]
+    elif x.ndim == 3:
+        if channel_axis is None:
+            sizes = x.shape
+            candidates = [i for i, s in enumerate(sizes) if s <= 5]
+            channel_axis = (
+                min(candidates, key=lambda i: sizes[i]) if candidates
+                else int(np.argmin(sizes))
+            )
+        x = np.moveaxis(x, channel_axis, -1)
+    else:
+        raise ValueError(f"expected 2D/3D image, got shape {x.shape}")
+    c = x.shape[-1]
+    if c == 1:
+        x = np.repeat(x, 3, axis=-1)
+    elif c == 2:
+        x = np.concatenate([x, np.zeros_like(x[..., :1])], axis=-1)
+    elif c > 3:
+        x = x[..., :3]
+    return np.ascontiguousarray(x, np.float32)
+
+
+def compute_class_masks(
+    masks: np.ndarray, y_class: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-instance majority class vote (reference models.py:191-230):
+    pixelwise argmax of class logits, then bincount over the combined
+    (instance, class) index."""
+    squeezed = np.squeeze(y_class)
+    pixel_cls = squeezed.argmax(axis=0)
+    inst = masks.ravel()
+    cls = pixel_cls.ravel()
+    max_inst = int(inst.max())
+    n_classes = int(squeezed.shape[0])
+    valid = inst > 0
+    idx = inst[valid].astype(np.int64) * n_classes + cls[valid]
+    counts = np.bincount(idx, minlength=(max_inst + 1) * n_classes)
+    counts = counts.reshape(max_inst + 1, n_classes)
+    major = counts.argmax(axis=1)
+    major[0] = 0
+    class_masks = major[masks]
+    return class_masks, np.unique(masks)
+
+
+def dx_to_circ(dP: np.ndarray) -> np.ndarray:
+    """Flow field → HSV-style RGB visualization (cellpose ``plot.dx_to_circ``
+    used in the eval return tuple, models.py:824)."""
+    import colorsys
+
+    dP = np.asarray(dP, np.float32)
+    mag = np.clip(np.sqrt(np.sum(dP**2, axis=0)), 0, 1e6)
+    mag = mag / (mag.max() + 1e-12)
+    ang = (np.arctan2(dP[0], dP[1]) + np.pi) / (2 * np.pi)
+    H, W = mag.shape
+    hsv = np.stack([ang, np.ones_like(mag), mag], axis=-1)
+    # vectorized hsv→rgb
+    h6 = hsv[..., 0] * 6.0
+    i = np.floor(h6).astype(int) % 6
+    f = h6 - np.floor(h6)
+    v = hsv[..., 2]
+    p = np.zeros_like(v)
+    q = v * (1 - f)
+    t = v * f
+    rgb = np.zeros((H, W, 3), np.float32)
+    conds = [
+        (v, t, p), (q, v, p), (p, v, t), (p, q, v), (t, p, v), (v, p, q),
+    ]
+    for k, (r, g, b) in enumerate(conds):
+        m = i == k
+        rgb[m, 0], rgb[m, 1], rgb[m, 2] = r[m], g[m], b[m]
+    return (rgb * 255).astype(np.uint8)
+
+
+def _resize_chw(arr: np.ndarray, Ly: int, Lx: int, nearest=False) -> np.ndarray:
+    """Resize (C, H, W) or (H, W) arrays with jax.image (device-side)."""
+    a = jnp.asarray(arr)
+    method = "nearest" if nearest else "linear"
+    if a.ndim == 2:
+        out = jax.image.resize(a, (Ly, Lx), method)
+    else:
+        out = jax.image.resize(a, (a.shape[0], Ly, Lx), method)
+    return np.asarray(out)
+
+
+class ClassposeModel:
+    """Classpose model: network + tiled inference + mask dynamics.
+
+    Weight sources: a ``.npz`` flat-param file produced by
+    :mod:`classpose_tpu.nn.convert`, a torch ``.pt`` state dict (converted
+    on the fly when torch is installed), or ``None`` for random init (tests).
+    """
+
+    def __init__(
+        self,
+        pretrained_model: str | None = None,
+        nclasses: int | None = None,
+        feature_transformation_structure=None,
+        precision: str = "fp32",
+        cfg: ClassTransformerConfig | None = None,
+        params=None,
+    ):
+        self.precision = precision
+        dtype = resolve_precision(precision)
+        if cfg is None:
+            cfg = ClassTransformerConfig(
+                n_cell_classes=nclasses or 1,
+                feature_transformation_structure=(
+                    tuple(feature_transformation_structure)
+                    if feature_transformation_structure
+                    else None
+                ),
+                dtype=dtype,
+            )
+        else:
+            cfg = ClassTransformerConfig(
+                **{**cfg.__dict__, "dtype": dtype}
+            )
+        self.cfg = cfg
+        self.nclasses = cfg.n_cell_classes
+        self.net = ClassTransformer(cfg)
+        self.timing: list[float] = []
+
+        if params is not None:
+            self.params = params
+        elif pretrained_model is not None:
+            from classpose_tpu.nn.convert import load_params
+
+            models_logger.info(f"loading model {pretrained_model}")
+            self.params = load_params(pretrained_model, cfg)
+        else:
+            models_logger.warning(
+                "no pretrained model given — randomly initialized network"
+            )
+            self.params = self.net.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, 3, cfg.bsize, cfg.bsize)),
+            )
+
+        self._apply = lambda x: self.net.apply(self.params, x)
+        self._runners: dict = {}
+
+    def _get_runner(self, batch_size, augment, tile_overlap, bsize):
+        key = (batch_size, augment, tile_overlap, bsize)
+        if key not in self._runners:
+            self._runners[key] = TileRunner(
+                self._apply,
+                self.nclasses,
+                bsize=bsize,
+                batch_size=batch_size,
+                tile_overlap=tile_overlap,
+                augment=augment,
+            )
+        return self._runners[key]
+
+    def eval(
+        self,
+        x,
+        batch_size: int = 8,
+        resample: bool = True,
+        channel_axis: int | None = None,
+        normalize=True,
+        invert: bool = False,
+        diameter: float | None = None,
+        flow_threshold: float = 0.4,
+        cellprob_threshold: float = 0.0,
+        min_size: int = 15,
+        max_size_fraction: float = 0.4,
+        niter: int | None = None,
+        augment: bool = False,
+        tile_overlap: float = 0.1,
+        bsize: int = 256,
+        compute_masks: bool = True,
+        **_unused,
+    ):
+        """Segment an image or list of images (reference models.py:478-827,
+        2D path). Returns ``(masks, flows, class_masks, styles)`` with
+        flows = (dx_to_circ(dP), dP, cellprob, y_class, input_shape)."""
+        if isinstance(x, list):
+            self.timing = []
+            results = ([], [], [], [])
+            for xi in x:
+                tic = time.time()
+                mi, fi, ci, si = self.eval(
+                    xi,
+                    batch_size=batch_size,
+                    resample=resample,
+                    channel_axis=channel_axis,
+                    normalize=normalize,
+                    invert=invert,
+                    diameter=diameter,
+                    flow_threshold=flow_threshold,
+                    cellprob_threshold=cellprob_threshold,
+                    min_size=min_size,
+                    max_size_fraction=max_size_fraction,
+                    niter=niter,
+                    augment=augment,
+                    tile_overlap=tile_overlap,
+                    bsize=bsize,
+                    compute_masks=compute_masks,
+                )
+                for acc, v in zip(results, (mi, fi, ci, si)):
+                    acc.append(v)
+                self.timing.append(time.time() - tic)
+            return results
+
+        img = convert_image(x, channel_axis=channel_axis)
+        Ly0, Lx0 = img.shape[:2]
+
+        image_scaling = None
+        if diameter is not None and diameter > 0:
+            image_scaling = 30.0 / diameter
+            img = np.asarray(
+                jax.image.resize(
+                    jnp.asarray(img),
+                    (
+                        int(Ly0 * image_scaling),
+                        int(Lx0 * image_scaling),
+                        img.shape[-1],
+                    ),
+                    "linear",
+                )
+            )
+
+        norm_params = dict(NORMALIZE_DEFAULT)
+        if isinstance(normalize, dict):
+            norm_params.update(normalize)
+        elif isinstance(normalize, bool):
+            norm_params["normalize"] = normalize
+            norm_params["invert"] = invert
+        else:
+            raise ValueError("normalize parameter must be a bool or a dict")
+        if norm_params["normalize"]:
+            img = np.asarray(
+                normalize_img(
+                    jnp.asarray(img),
+                    axis=-1,
+                    lowhigh=norm_params["lowhigh"],
+                    percentile=norm_params["percentile"],
+                    invert=norm_params["invert"],
+                    sharpen_radius=norm_params["sharpen_radius"],
+                    smooth_radius=norm_params["smooth_radius"],
+                    tile_norm_blocksize=norm_params["tile_norm_blocksize"],
+                )
+            )
+
+        runner = self._get_runner(batch_size, augment, tile_overlap, bsize)
+        out = runner(jnp.asarray(img.transpose(2, 0, 1)))
+        y = np.asarray(out["y"])  # (3, Ly, Lx)
+        dP = y[:2]
+        cellprob = y[2]
+        y_class = (
+            np.asarray(out["y_class"]) if self.nclasses > 1 else
+            np.zeros((1,) + cellprob.shape, np.float32)
+        )
+        styles = np.asarray(out["style"])
+
+        if resample and (dP.shape[1:] != (Ly0, Lx0)):
+            dP = _resize_chw(dP, Ly0, Lx0)
+            cellprob = _resize_chw(cellprob, Ly0, Lx0)
+            y_class = _resize_chw(y_class, Ly0, Lx0)
+
+        if compute_masks:
+            niter0 = 200
+            niter_eff = niter0 if niter is None or niter == 0 else niter
+            masks = _dyn_compute_masks(
+                dP,
+                cellprob,
+                niter=niter_eff,
+                cellprob_threshold=cellprob_threshold,
+                flow_threshold=flow_threshold,
+                min_size=min_size,
+                max_size_fraction=max_size_fraction,
+            )
+            if not resample and masks.shape != (Ly0, Lx0):
+                masks = _resize_chw(masks.astype(np.int32), Ly0, Lx0,
+                                    nearest=True)
+            if self.nclasses > 1:
+                class_masks, _ = compute_class_masks(masks, y_class)
+            else:
+                class_masks = np.zeros_like(masks)
+        else:
+            masks = np.zeros(0)
+            class_masks = np.zeros(0)
+
+        if image_scaling is not None and compute_masks:
+            masks = _resize_chw(masks.astype(np.int32), Ly0, Lx0, nearest=True)
+            class_masks = _resize_chw(
+                class_masks.astype(np.int32), Ly0, Lx0, nearest=True
+            )
+            dP = _resize_chw(dP, Ly0, Lx0)
+            cellprob = _resize_chw(cellprob, Ly0, Lx0)
+            y_class = _resize_chw(y_class, Ly0, Lx0)
+
+        return (
+            masks,
+            (dx_to_circ(dP), dP, cellprob, y_class, img.shape),
+            class_masks,
+            styles,
+        )

@@ -3,12 +3,20 @@ multi-chip sharding paths compile and execute without TPU hardware."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: never run tests on the TPU chip
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The host environment exports JAX_PLATFORMS=axon (the TPU tunnel) and jax
+# may already have been imported by a pytest plugin before this conftest
+# runs, freezing that env value into jax.config. Override the live config
+# too — tests must run on the virtual CPU mesh, not the real chip.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

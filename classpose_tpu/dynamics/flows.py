@@ -7,7 +7,9 @@ train_utils.py:233-254 (training targets) and for flow-error QC
 (remove_bad_flow_masks):
 
 1. every instance gets a "center" pixel — the in-mask pixel closest to the
-   instance centroid;
+   instance centroid (computed host-side with bincounts and injected as an
+   (H, W) source map, so the device program's shapes are independent of the
+   instance count — one compile per image size, not per cell count);
 2. heat diffusion: at every iteration a unit source is injected at each
    center, then T ← (1/9)·Σ T over the 9-neighborhood *restricted to
    same-instance pixels* (out-of-instance neighbors contribute 0);
@@ -16,8 +18,7 @@ train_utils.py:233-254 (training targets) and for flow-error QC
    vectors over instance pixels.
 
 The diffusion loop is a ``lax.fori_loop`` of shifted elementwise ops —
-VPU-friendly, static shapes. ``max_id`` and ``niter`` are bucketed by the
-host wrapper to bound recompilation.
+VPU-friendly, static shapes.
 """
 
 from __future__ import annotations
@@ -28,41 +29,35 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_BIG_I32 = np.int32(2**31 - 1)
 
-
-def instance_centers(
-    masks: jnp.ndarray, max_id: int
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-instance center pixels (nearest in-mask pixel to the centroid).
-
-    Returns ``(centers, present)``: centers (max_id+1, 2) int32 (row, col)
-    and present (max_id+1,) bool. Background entry 0 is always absent.
-    """
+def instance_center_map(masks: np.ndarray) -> np.ndarray:
+    """(H, W) float32 map with a unit source at each instance's center
+    (nearest in-mask pixel to the instance centroid). Host-side numpy —
+    O(H·W) bincounts, no per-instance loops."""
+    masks = np.asarray(masks)
     H, W = masks.shape
-    ids = masks.astype(jnp.int32).ravel()
-    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0).ravel()
-    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1).ravel()
-    fg = (ids > 0).astype(jnp.float32)
-    n = jnp.zeros(max_id + 1).at[ids].add(fg)
-    sy = jnp.zeros(max_id + 1).at[ids].add(yy * fg)
-    sx = jnp.zeros(max_id + 1).at[ids].add(xx * fg)
-    cy = sy / jnp.maximum(n, 1.0)
-    cx = sx / jnp.maximum(n, 1.0)
+    ids = masks.ravel().astype(np.int64)
+    fg = ids > 0
+    out = np.zeros(H * W, np.float32)
+    if not fg.any():
+        return out.reshape(H, W)
+    n = np.bincount(ids)
+    yy, xx = np.divmod(np.arange(H * W, dtype=np.int64), W)
+    sy = np.bincount(ids, weights=yy)
+    sx = np.bincount(ids, weights=xx)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cy = sy / np.maximum(n, 1)
+        cx = sx / np.maximum(n, 1)
     d = (yy - cy[ids]) ** 2 + (xx - cx[ids]) ** 2
-    d = jnp.where(ids > 0, d, jnp.inf)
-    dmin = (
-        jnp.full(max_id + 1, jnp.inf, jnp.float32).at[ids].min(d)
-    )
-    # among pixels achieving (approximately) dmin, take the smallest index
-    flat = yy * W + xx
-    eligible = (ids > 0) & (d <= dmin[ids] + 1e-3)
-    cand = jnp.where(eligible, flat, _BIG_I32)
-    best = jnp.full(max_id + 1, _BIG_I32, jnp.int32).at[ids].min(cand)
-    present = (n > 0) & (jnp.arange(max_id + 1) > 0)
-    best = jnp.where(present, best, 0)
-    centers = jnp.stack([best // W, best % W], axis=-1).astype(jnp.int32)
-    return centers, present
+    d[~fg] = np.inf
+    # per-instance argmin via lexicographic sort on (id, distance, index)
+    order = np.lexsort((np.arange(H * W), d, ids))
+    sorted_ids = ids[order]
+    first = np.ones(len(order), bool)
+    first[1:] = sorted_ids[1:] != sorted_ids[:-1]
+    centers = order[first & (sorted_ids > 0)]
+    out[centers] = 1.0
+    return out.reshape(H, W)
 
 
 _SHIFTS9 = [
@@ -72,26 +67,17 @@ _SHIFTS9 = [
 ]
 
 
-@partial(jax.jit, static_argnames=("max_id", "niter"))
-def masks_to_flows(
-    masks: jnp.ndarray, max_id: int, niter: int = 200
+@partial(jax.jit, static_argnames=("niter",))
+def _diffuse_and_grad(
+    masks: jnp.ndarray, center_map: jnp.ndarray, niter: int
 ) -> jnp.ndarray:
-    """(H, W) instance labels → (2, H, W) unit flow field [dy, dx].
-
-    ``max_id``: static upper bound on instance ids (ids above it must not
-    occur). ``niter``: diffusion length; needs ≳ 2× the largest instance
-    diameter to converge (cellpose's horizon).
-    """
+    """Device kernel: masked heat diffusion + normalized log-gradient.
+    Shapes depend only on (H, W, niter)."""
     H, W = masks.shape
     ids = masks.astype(jnp.int32)
-    centers, present = instance_centers(ids, max_id)
-    center_map = (
-        jnp.zeros((H, W), jnp.float32)
-        .at[centers[:, 0], centers[:, 1]]
-        .add(present.astype(jnp.float32))
-    )
     ids_p = jnp.pad(ids, 1)
     fg = ids > 0
+    center_map = center_map * fg
 
     def neighbor_mean(T):
         Tp = jnp.pad(T, 1)
@@ -117,6 +103,36 @@ def masks_to_flows(
     return jnp.where(fg[None], mu, 0.0).astype(jnp.float32)
 
 
+def masks_to_flows(
+    masks, max_id: int | None = None, niter: int = 200
+) -> jnp.ndarray:
+    """(H, W) instance labels → (2, H, W) unit flow field [dy, dx].
+
+    ``niter``: diffusion length; needs ≳ 2× the largest instance diameter
+    to converge (cellpose's horizon). ``max_id`` is accepted for backward
+    compatibility and ignored (the kernel no longer depends on it).
+    """
+    masks_np = np.asarray(masks)
+    center_map = instance_center_map(masks_np)
+    return _diffuse_and_grad(
+        jnp.asarray(masks_np), jnp.asarray(center_map), niter
+    )
+
+
+def instance_centers(masks, max_id: int):
+    """Compatibility helper: (centers (max_id+1, 2) int32, present bool)."""
+    cm = instance_center_map(np.asarray(masks))
+    ys, xs = np.nonzero(cm)
+    ids = np.asarray(masks)[ys, xs]
+    centers = np.zeros((max_id + 1, 2), np.int32)
+    present = np.zeros(max_id + 1, bool)
+    for y, x, i in zip(ys, xs, ids):
+        if i <= max_id:
+            centers[i] = (y, x)
+            present[i] = True
+    return centers, present
+
+
 def _bucket(v: int, q: int) -> int:
     return int(q * np.ceil(max(v, 1) / q))
 
@@ -128,8 +144,8 @@ def labels_to_flows(
     ``[instance, binary, flow_y, flow_x]`` (cellpose ``labels_to_flows``
     contract used at reference train_utils.py:233-254).
 
-    Instance ids are densified first; ``max_id``/``niter`` are bucketed so
-    repeated calls with similar inputs reuse compiled programs.
+    Instance ids are densified first; ``niter`` is bucketed so repeated
+    calls with similar inputs reuse compiled programs.
     """
     labels = np.asarray(labels)
     if labels.ndim != 2:
@@ -138,16 +154,13 @@ def labels_to_flows(
     remapped = remapped.reshape(labels.shape).astype(np.int32)
     if ids[0] != 0:  # no background pixel present
         remapped += 1
-    max_id = int(remapped.max())
-    if max_id == 0:
+    if remapped.max() == 0:
         z = np.zeros(labels.shape, np.float32)
         return np.stack([z, z, z, z])
     if niter is None:
         niter = 2 * _max_instance_extent(remapped)
     niter = _bucket(min(max(niter, 60), 1200), 50)
-    mu = np.asarray(
-        masks_to_flows(jnp.asarray(remapped), _bucket(max_id, 64), niter)
-    )
+    mu = np.asarray(masks_to_flows(remapped, niter=niter))
     binary = (remapped > 0).astype(np.float32)
     return np.stack([remapped.astype(np.float32), binary, mu[0], mu[1]])
 

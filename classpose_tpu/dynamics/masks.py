@@ -155,20 +155,25 @@ def get_masks_from_positions(
     return jnp.where(iscell, masks, 0)
 
 
-@partial(jax.jit, static_argnames=("max_id", "niter"))
-def flow_errors(
-    masks: jnp.ndarray, dP: jnp.ndarray, max_id: int, niter: int = 200
-):
+def flow_errors(masks, dP, max_id: int | None = None, niter: int = 200):
     """Per-instance mean squared error between flows recomputed from the
     candidate masks and the predicted flows (cellpose flow QC,
-    ``remove_bad_flow_masks``). Returns (max_id+1,) float32."""
-    mu = masks_to_flows(masks, max_id, niter)
-    err_map = jnp.sum((mu - dP / 5.0) ** 2, axis=0)
-    ids = masks.astype(jnp.int32).ravel()
-    fg = (ids > 0).astype(jnp.float32)
-    n = jnp.zeros(max_id + 1).at[ids].add(fg)
-    s = jnp.zeros(max_id + 1).at[ids].add(err_map.ravel() * fg)
-    return s / jnp.maximum(n, 1.0)
+    ``remove_bad_flow_masks``). Returns (nmax+1,) float32.
+
+    The flow recomputation runs on device (shape-stable); the per-instance
+    aggregation is a host bincount, so nothing recompiles when the
+    instance count changes tile to tile."""
+    masks_np = np.asarray(masks)
+    mu = np.asarray(masks_to_flows(masks_np, niter=niter))
+    dP_np = np.asarray(dP)
+    err_map = ((mu - dP_np / 5.0) ** 2).sum(axis=0)
+    ids = masks_np.ravel().astype(np.int64)
+    fg = ids > 0
+    nmax = int(masks_np.max()) if max_id is None else max_id
+    n = np.bincount(ids[fg], minlength=nmax + 1)
+    s = np.bincount(ids[fg], weights=err_map.ravel()[fg],
+                    minlength=nmax + 1)
+    return (s / np.maximum(n, 1)).astype(np.float32)
 
 
 def fill_holes_and_remove_small_masks(
@@ -245,10 +250,7 @@ def compute_masks(
 
     # flow-error QC
     if flow_threshold is not None and flow_threshold > 0:
-        bucket = int(64 * np.ceil(nmax / 64))
-        errs = np.asarray(
-            flow_errors(jnp.asarray(masks), dP, bucket, niter=qc_niter)
-        )[: nmax + 1]
+        errs = flow_errors(masks, np.asarray(dP), niter=qc_niter)
         bad = errs > flow_threshold
         bad[0] = False
         if bad.any():

@@ -1,0 +1,103 @@
+"""``classpose-predict-wsi`` CLI.
+
+Flag-for-flag compatible with the reference argparse surface
+(predict_wsi.py:1891-2021), which the QuPath extension drives
+(ClassposePredictWSIAction.java:380-438). TPU-specific additions:
+``--device`` accepts ``tpu``/``tpu:0,1``-style mesh selection (the
+reference's ``cuda:0,1`` syntax also works and maps onto the local
+accelerators), and ``--mpp`` overrides slide resolution when metadata is
+missing.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from classpose_tpu.pipeline.predict_wsi import main
+from classpose_tpu.pipeline.slide_loader import (
+    DEFAULT_OVERLAP,
+    DEFAULT_TILE_SIZE,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Run Classpose WSI inference (TPU-native)."
+    )
+    parser.add_argument(
+        "--model_config", type=str, required=True,
+        help="One of 'conic', 'consep', 'glysac', 'monusac', 'nucls', "
+        "'puma' or a path to a Classpose model config YAML.",
+    )
+    parser.add_argument(
+        "--slide_path", type=str, required=True,
+        help="Path (or HTTP/HTTPS URL) of the whole-slide image.",
+    )
+    parser.add_argument(
+        "--tissue_detection_model_path", type=str, default=None,
+        help="Path to the GrandQC tissue detection model weights.",
+    )
+    parser.add_argument(
+        "--artefact_detection_model_path", type=str, default=None,
+        help="Path to the GrandQC artefact detection model weights.",
+    )
+    parser.add_argument(
+        "--filter_artefacts", action=argparse.BooleanOptionalAction,
+        default=False,
+        help="Filter cells detected in artefact regions.",
+    )
+    parser.add_argument(
+        "--roi_geojson", type=str, default=None,
+        help="FeatureCollection with (Multi)Polygon(s) in level-0 coords.",
+    )
+    parser.add_argument(
+        "--roi_class_priority", type=str, default=None, nargs="+",
+        help="ROI class names in priority order for overlapping regions.",
+    )
+    parser.add_argument(
+        "--min_area", type=int, default=0,
+        help="Minimum area of the tissue polygons.",
+    )
+    parser.add_argument(
+        "--tta", action=argparse.BooleanOptionalAction, default=False,
+        help="Test-time augmentation.",
+    )
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument(
+        "--device", type=str, default=None,
+        help="Device selection; 'tpu', 'tpu:0,1', 'cpu' or the reference's "
+        "'cuda:0,1' syntax (mapped to local accelerators).",
+    )
+    parser.add_argument(
+        "--precision", type=str, default="bf16",
+        choices=["fp32", "fp16", "bf16"],
+        help="Inference precision ('fp16' maps to bf16 on TPU).",
+    )
+    parser.add_argument("--tile_size", type=int, default=DEFAULT_TILE_SIZE)
+    parser.add_argument("--overlap", type=int, default=DEFAULT_OVERLAP)
+    parser.add_argument("--output_folder", type=str, required=True)
+    parser.add_argument(
+        "--output_type", type=str, default=None, nargs="+",
+        choices=["csv", "spatialdata"],
+    )
+    parser.add_argument(
+        "--inference_threads", type=int, default=None,
+        help="Host post-processing threads (device compute is async).",
+    )
+    parser.add_argument(
+        "--mpp", type=float, default=None,
+        help="Override slide microns-per-pixel when metadata is missing.",
+    )
+    return parser
+
+
+def main_with_args(argv=None):
+    args = build_parser().parse_args(argv)
+    from classpose_tpu.parallel.mesh import enable_compilation_cache
+
+    enable_compilation_cache()
+    main(args)
+
+
+if __name__ == "__main__":
+    main_with_args()

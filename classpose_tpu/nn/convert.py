@@ -52,14 +52,45 @@ def unflatten_params(flat: dict[str, np.ndarray]) -> dict:
     return tree
 
 
-def save_params(params: dict, path: str) -> None:
-    """Save a flax param tree as a flat .npz (native checkpoint format)."""
-    np.savez_compressed(path, **flatten_params(params))
+def save_params(params: dict, path: str, cfg=None) -> None:
+    """Save a flax param tree as a flat .npz (native checkpoint format).
+
+    When ``cfg`` (a ClassTransformerConfig) is given, its fields are
+    embedded as a ``__meta__`` JSON blob, making the checkpoint
+    self-describing (architecture reconstructable without flags)."""
+    flat = flatten_params(params)
+    if cfg is not None:
+        import json
+
+        meta = dict(cfg.__dict__)
+        if meta.get("feature_transformation_structure") is not None:
+            meta["feature_transformation_structure"] = list(
+                meta["feature_transformation_structure"]
+            )
+        flat["__meta__"] = np.frombuffer(
+            json.dumps(meta).encode(), np.uint8
+        )
+    np.savez_compressed(path, **flat)
 
 
 def load_npz_params(path: str) -> dict:
+    params, _ = load_npz_checkpoint(path)
+    return params
+
+
+def load_npz_checkpoint(path: str) -> tuple[dict, dict | None]:
+    """Load (params, meta|None) from a native .npz checkpoint."""
+    import json
+
     with np.load(path) as z:
-        return unflatten_params({k: z[k] for k in z.files})
+        meta = None
+        flat = {}
+        for k in z.files:
+            if k == "__meta__":
+                meta = json.loads(bytes(z[k]).decode())
+            else:
+                flat[k] = z[k]
+    return unflatten_params(flat), meta
 
 
 # ------------------------------------------------------------ structure probe
@@ -70,15 +101,23 @@ def infer_structure(path: str) -> tuple[list[int] | None, int]:
     predict_wsi.py:1377-1419 behavior."""
     path = str(path)
     if path.endswith(".npz"):
+        _, meta = load_npz_checkpoint(path)
+        if meta is not None:
+            s = meta.get("feature_transformation_structure")
+            return (list(s) if s else None), int(
+                meta.get("n_cell_classes", 1)
+            )
         with np.load(path) as z:
             keys = list(z.files)
-            w3 = z["W3"] if "W3" in z.files else None
             unet_keys = [k for k in keys if "out_class/encoder_blocks" in k]
-            if w3 is not None:
-                n_classes = int(w3.shape[1])
-            else:
-                oc = [k for k in keys if k.startswith("out_class")]
-                n_classes = 1
+            ps = None
+            pk = "params/encoder/patch_embed/kernel"
+            if pk in keys:
+                ps = int(z[pk].shape[0])
+            n_classes = 1
+            ock = "params/out_class/kernel"
+            if ock in keys and ps:
+                n_classes = int(z[ock].shape[-1]) // (ps * ps)
             structure = _unet_structure_from_keys(
                 keys, "/", zingetter=lambda k: z[k]
             ) if unet_keys else None
@@ -99,7 +138,7 @@ def _unet_structure_from_keys(keys, sep, zingetter) -> list[int]:
     i = 0
     while True:
         k_t = f"out_class.encoder_blocks.{i}.block.conv1.weight"
-        k_n = f"out_class/encoder_blocks_{i}/block/conv1/kernel"
+        k_n = f"params/out_class/encoder_blocks_{i}/block/conv1/kernel"
         key = k_t if sep == "." else k_n
         if key not in keys:
             break

@@ -76,6 +76,7 @@ def get_rel_pos(q_size: int, k_size: int, rel_pos: jnp.ndarray) -> jnp.ndarray:
     is ``rel_pos[i - j + k_size - 1]`` (after optional interpolation to
     2·max(q,k)−1 entries).
     """
+    rel_pos = jnp.asarray(rel_pos)  # loaded checkpoints may hold numpy
     max_rel_dist = 2 * max(q_size, k_size) - 1
     if rel_pos.shape[0] != max_rel_dist:
         # linear interpolation along the positions axis

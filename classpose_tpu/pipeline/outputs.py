@@ -1,0 +1,469 @@
+"""Output builders: GeoJSON features, ROI mapping, densities, SpatialData.
+
+Functional parity with the reference entrypoints/outputs.py and the GeoJSON
+builders in predict_wsi.py:813-1026 — the exact feature schema is part of
+the QuPath extension contract (GeoJsonImporter.java parses
+Polygon/Point FeatureCollections with classification name+color and the
+area/perimeter/centroidX/centroidY measurements).
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+from classpose_tpu.geometry import Polygon, STRtree, make_valid
+from classpose_tpu.log import get_logger
+
+logger = get_logger(__name__)
+
+
+# ----------------------------------------------------------- feature schema
+
+def to_geojson_polygon(curr_cell: dict) -> dict:
+    """Cell dict → GeoJSON Polygon feature (reference predict_wsi.py:813-854
+    schema, byte-compatible for the QuPath importer)."""
+    return {
+        "type": "Feature",
+        "id": curr_cell["id"],
+        "geometry": {
+            "type": "Polygon",
+            "coordinates": [curr_cell["coords"]],
+        },
+        "properties": {
+            "objectType": "annotation",
+            "isLocked": False,
+            "classification": {
+                "name": curr_cell["label"],
+                "color": curr_cell["color"],
+            },
+            "measurements": [
+                {"name": "area", "value": curr_cell["area"]},
+                {"name": "perimeter", "value": curr_cell["perimeter"]},
+                {"name": "centroidX", "value": curr_cell["centroid"][0]},
+                {"name": "centroidY", "value": curr_cell["centroid"][1]},
+            ],
+        },
+    }
+
+
+def polygons_to_centroids(cells: list[dict]) -> list[dict]:
+    """Polygon features → Point features (predict_wsi.py:1335-1374)."""
+    output = []
+    for cell in cells:
+        ms = cell["properties"]["measurements"]
+        cx = next(m["value"] for m in ms if m["name"] == "centroidX")
+        cy = next(m["value"] for m in ms if m["name"] == "centroidY")
+        output.append(
+            {
+                "type": "Feature",
+                "id": str(uuid.uuid4()),
+                "geometry": {"type": "Point", "coordinates": [cx, cy]},
+                "properties": {
+                    "objectType": "annotation",
+                    "isLocked": False,
+                    "classification": cell["properties"]["classification"],
+                    "measurements": ms,
+                },
+            }
+        )
+    return output
+
+
+def polygon_to_geojson_feature(
+    poly: Polygon,
+    id: str | None = None,
+    object_type: str = "annotation",
+    additional_properties: dict | None = None,
+) -> dict:
+    """Geometry Polygon → feature with measurements
+    (shapely_polygon_to_geojson equivalent, predict_wsi.py:968-1026)."""
+    exterior = [list(pt) for pt in poly.exterior]
+    if exterior and exterior[0] != exterior[-1]:
+        exterior.append(list(exterior[0]))
+    rings = [exterior]
+    for h in poly.holes:
+        ring = [list(pt) for pt in h]
+        if ring and ring[0] != ring[-1]:
+            ring.append(list(ring[0]))
+        rings.append(ring)
+    cx, cy = poly.centroid
+    props = {
+        "objectType": object_type,
+        "isLocked": False,
+        "measurements": [
+            {"name": "area", "value": poly.area},
+            {"name": "perimeter", "value": poly.length},
+            {"name": "centroidX", "value": cx},
+            {"name": "centroidY", "value": cy},
+        ],
+    }
+    if additional_properties:
+        props.update(additional_properties)
+    return {
+        "type": "Feature",
+        "id": id if id is not None else str(uuid.uuid4()),
+        "geometry": {"type": "Polygon", "coordinates": rings},
+        "properties": props,
+    }
+
+
+def apply_bounds_offset_to_feature(
+    feature: dict, bounds_x: float, bounds_y: float
+) -> dict:
+    """Shift a feature into QuPath's bounds-relative coordinates
+    (predict_wsi.py:857-894)."""
+    if not feature or "geometry" not in feature:
+        return feature
+    geometry = feature["geometry"]
+    if "coordinates" not in geometry:
+        return feature
+    if geometry["type"] == "Point":
+        x, y = geometry["coordinates"]
+        geometry["coordinates"] = [x - bounds_x, y - bounds_y]
+    else:
+        geometry["coordinates"] = [
+            [[p[0] - bounds_x, p[1] - bounds_y] for p in ring]
+            for ring in geometry["coordinates"]
+        ]
+    for m in feature.get("properties", {}).get("measurements", []):
+        if m["name"] == "centroidX":
+            m["value"] -= bounds_x
+        elif m["name"] == "centroidY":
+            m["value"] -= bounds_y
+    return feature
+
+
+def write_feature_collection(features: list[dict], path: str | Path) -> None:
+    with open(path, "w") as f:
+        json.dump({"type": "FeatureCollection", "features": features}, f)
+
+
+# ------------------------------------------------------------- ROI handling
+
+def load_roi_polygons(
+    roi_geojson_path: str, group_by_class: bool = False
+):
+    """GeoJSON FeatureCollection → STRtree (+ per-class polygon dict).
+
+    Mirrors predict_wsi.py:1086-1162: LineStrings are closed into polygons,
+    invalid rings repaired, MultiPolygons flattened, classes read from
+    properties.classification.name.
+    """
+    with open(roi_geojson_path) as f:
+        data = json.load(f)
+    if isinstance(data, list):
+        data = {"features": data}
+    if "features" not in data and "geometry" in data:
+        data = {"features": [data]}
+
+    polys: list[Polygon] = []
+    class_dict: dict[str, list[Polygon]] = {}
+    for feat in data.get("features", []):
+        geom = feat.get("geometry")
+        if not geom:
+            continue
+        class_name = None
+        if group_by_class:
+            class_name = (
+                feat.get("properties", {})
+                .get("classification", {})
+                .get("name", "unknown")
+            )
+        for ring_poly in _geometry_to_polygons(geom):
+            polys.append(ring_poly)
+            if group_by_class:
+                class_dict.setdefault(class_name, []).append(ring_poly)
+
+    if group_by_class:
+        logger.info(
+            "Loaded ROI polygons per class: %s (total: %d)",
+            {k: len(v) for k, v in class_dict.items()},
+            len(polys),
+        )
+    if not polys:
+        return (None, class_dict) if group_by_class else None
+    tree = STRtree(polys)
+    return (tree, class_dict) if group_by_class else tree
+
+
+def _geometry_to_polygons(geom: dict) -> list[Polygon]:
+    gtype = geom.get("type")
+    coords = geom.get("coordinates")
+    out = []
+    if gtype == "Polygon":
+        out.append(Polygon(coords[0], holes=coords[1:]))
+    elif gtype == "MultiPolygon":
+        for rings in coords:
+            out.append(Polygon(rings[0], holes=rings[1:]))
+    elif gtype == "LineString":
+        ring = list(coords) + [list(coords[0])]
+        out.append(Polygon(ring))
+    validated = []
+    for p in out:
+        if p.is_valid:
+            validated.append(p)
+        else:
+            validated.extend(
+                Polygon(r) for r in make_valid(p.exterior)
+            )
+    return validated
+
+
+def get_cell_centroid(cell: dict) -> tuple[float, float]:
+    ms = cell["properties"]["measurements"]
+    return (
+        next(m["value"] for m in ms if m["name"] == "centroidX"),
+        next(m["value"] for m in ms if m["name"] == "centroidY"),
+    )
+
+
+def filter_cells_by_tree(
+    cells: list[dict], tree: STRtree, keep_inside: bool = True
+) -> list[dict]:
+    """Centroid-within filter used for ROI/tissue (keep inside) and
+    artefacts (drop inside) — predict_wsi.py:1247-1333."""
+    if tree is None or not cells:
+        return cells
+    pts = np.array([get_cell_centroid(c) for c in cells])
+    inside = tree.contains_points(pts)
+    keep = inside if keep_inside else ~inside
+    out = [c for c, k in zip(cells, keep) if k]
+    logger.info(
+        "Filtered cells: kept %d / %d", len(out), len(cells)
+    )
+    return out
+
+
+def map_cells_to_roi_classes(
+    cells: list[dict],
+    roi_class_dict: dict[str, list[Polygon]],
+    priority_list: list[str] | None = None,
+) -> dict[str, list[dict]]:
+    """Assign each cell to the first matching ROI class by centroid
+    containment in priority order (reference outputs.py:57-145)."""
+    if priority_list:
+        invalid = [c for c in priority_list if c not in roi_class_dict]
+        if invalid:
+            logger.warning(
+                f"Priority list contains classes not found in ROI: {invalid}"
+            )
+        ordered = [c for c in priority_list if c in roi_class_dict] + [
+            c for c in roi_class_dict if c not in priority_list
+        ]
+    else:
+        ordered = list(roi_class_dict.keys())
+
+    trees = {
+        name: STRtree(polys)
+        for name, polys in roi_class_dict.items()
+        if polys
+    }
+    result: dict[str, list[dict]] = {name: [] for name in roi_class_dict}
+    if not cells:
+        return result
+    pts = np.array([get_cell_centroid(c) for c in cells])
+    assigned = np.zeros(len(cells), bool)
+    for name in ordered:
+        if name not in trees:
+            continue
+        m = ~assigned
+        if not m.any():
+            break
+        idx = np.nonzero(m)[0]
+        inside = trees[name].contains_points(pts[idx])
+        hit = idx[inside]
+        for i in hit:
+            result[name].append(cells[i])
+        assigned[hit] = True
+    for name, lst in result.items():
+        logger.info(f"ROI class '{name}': {len(lst)} cells")
+    return result
+
+
+# ---------------------------------------------------------------- densities
+
+def calculate_cellular_densities(
+    cells,
+    tissue_area_pixels,
+    artefact_area_pixels,
+    mpp_x: float,
+    mpp_y: float,
+    labels: list[str],
+) -> pd.DataFrame:
+    """Cells/mm² per class, global or per-ROI-class, artefact-corrected
+    (reference outputs.py:148-273). Returns columns
+    [region, cell_class, count, density]."""
+    mpp_product = mpp_x * mpp_y
+    roi_mode = isinstance(cells, dict)
+    rows = []
+
+    def _count(cell_list):
+        counts = {label: 0 for label in labels}
+        for cell in cell_list:
+            name = cell["properties"]["classification"]["name"]
+            if name in counts:
+                counts[name] += 1
+        return counts
+
+    if roi_mode:
+        for region, roi_cells in cells.items():
+            area_px = tissue_area_pixels.get(region, 0) - \
+                artefact_area_pixels.get(region, 0)
+            area_mm2 = area_px * mpp_product / 1e6
+            counts = _count(roi_cells)
+            for label in labels:
+                rows.append(
+                    {
+                        "region": region,
+                        "cell_class": label,
+                        "count": counts[label],
+                        "density": counts[label] / area_mm2
+                        if area_mm2 > 0 else 0,
+                    }
+                )
+    else:
+        area_px = tissue_area_pixels - artefact_area_pixels
+        area_mm2 = area_px * mpp_product / 1e6
+        counts = _count(cells)
+        for label in labels:
+            rows.append(
+                {
+                    "region": "tissue",
+                    "cell_class": label,
+                    "count": counts[label],
+                    "density": counts[label] / area_mm2
+                    if area_mm2 > 0 else 0,
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+# --------------------------------------------------------------- spatialdata
+
+def create_spatialdata_output(
+    output_path: str | Path,
+    cells: list[dict],
+    tissue_features: list[dict] | None,
+    artefact_features: list[dict] | None,
+    roi_features: list[dict] | None,
+    densities: pd.DataFrame | None,
+    metadata: dict,
+) -> Path:
+    """Write a SpatialData-style Zarr store (reference outputs.py:322-441).
+
+    Uses the real spatialdata stack when importable; otherwise writes a
+    self-contained Zarr v2 store with the same logical content: shapes
+    (cells/tissue/artefact/roi as GeoJSON blobs), points (cell centroids +
+    class codes), the densities table, and run metadata attrs.
+    """
+    output_path = Path(output_path)
+    try:  # pragma: no cover - spatialdata not in this environment
+        import spatialdata  # noqa: F401
+
+        return _create_spatialdata_native(
+            output_path, cells, tissue_features, artefact_features,
+            roi_features, densities, metadata,
+        )
+    except ImportError:
+        pass
+
+    from classpose_tpu.io.zarrlite import ZarrGroup
+
+    root = ZarrGroup(output_path, attrs={"metadata": metadata,
+                                         "spatialdata_attrs":
+                                         {"version": "0.1-lite"}})
+    shapes = root.group("shapes")
+    for name, feats in [
+        ("cells", cells),
+        ("tissue", tissue_features),
+        ("artefacts", artefact_features),
+        ("roi", roi_features),
+    ]:
+        if feats:
+            blob = json.dumps(
+                {"type": "FeatureCollection", "features": feats}
+            ).encode()
+            shapes.array(name, np.frombuffer(blob, np.uint8),
+                         attrs={"encoding": "geojson-utf8"})
+
+    if cells:
+        pts = np.array([get_cell_centroid(c) for c in cells])
+        labels = [
+            c["properties"]["classification"]["name"] for c in cells
+        ]
+        uniq = sorted(set(labels))
+        codes = np.array([uniq.index(x) for x in labels], np.int32)
+        points = root.group("points")
+        points.array("x", pts[:, 0])
+        points.array("y", pts[:, 1])
+        points.array("class_code", codes,
+                     attrs={"classes": uniq})
+
+    if densities is not None and len(densities):
+        table = root.group("tables").group("densities")
+        table.array("count", densities["count"].to_numpy(np.int64))
+        table.array("density", densities["density"].to_numpy(np.float64))
+        table.set_attrs(
+            {
+                "region": densities["region"].tolist(),
+                "cell_class": densities["cell_class"].tolist(),
+            }
+        )
+    logger.info("Wrote SpatialData store to %s", output_path)
+    return output_path
+
+
+def _create_spatialdata_native(
+    output_path, cells, tissue, artefacts, roi, densities, metadata
+):  # pragma: no cover - requires spatialdata stack
+    import geopandas as gpd
+    from shapely.geometry import shape
+    import anndata
+    import spatialdata
+    from spatialdata.models import ShapesModel, PointsModel
+
+    objs = {}
+    shapes_in = {
+        "cells": cells, "tissue": tissue, "artefacts": artefacts, "roi": roi
+    }
+    shapes = {}
+    for name, feats in shapes_in.items():
+        if not feats:
+            continue
+        gdf = gpd.GeoDataFrame(
+            {
+                "geometry": [shape(f["geometry"]) for f in feats],
+                "class": [
+                    f["properties"].get("classification", {}).get("name", "")
+                    for f in feats
+                ],
+            }
+        )
+        shapes[name] = ShapesModel.parse(gdf)
+    points = None
+    if cells:
+        import pandas as _pd
+
+        pts = _pd.DataFrame(
+            [get_cell_centroid(c) for c in cells], columns=["x", "y"]
+        )
+        points = {"centroids": PointsModel.parse(pts)}
+    tables = None
+    if densities is not None and len(densities):
+        tables = {
+            "densities": anndata.AnnData(
+                X=densities[["density"]].to_numpy(),
+                obs=densities[["region", "cell_class", "count"]],
+            )
+        }
+    sdata = spatialdata.SpatialData(
+        shapes=shapes, points=points or {}, tables=tables or {}
+    )
+    sdata.attrs["metadata"] = metadata
+    sdata.write(str(output_path), overwrite=True)
+    return Path(output_path)

@@ -1,0 +1,393 @@
+"""WSI inference pipeline orchestrator.
+
+TPU-native rebuild of the reference flagship entrypoint
+(predict_wsi.py:1451-1888). Same stages, re-architected for one host
+driving TPU device(s):
+
+  reader thread pool (SlideLoader.stream)          [host]
+    → tile-size-bucketed batches                    [host]
+    → jitted normalize→tile-net→blend→dynamics      [device, async dispatch]
+    → polygon extraction thread pool                [host]
+    → dedup → ROI/tissue/artefact filters → export  [host]
+
+The reference's per-GPU worker *processes* become device-parallel execution
+inside one process (see classpose_tpu.parallel for the multi-chip mesh
+path); its producer/consumer queues become thread-backed generators; its
+CLI flags, output filenames, and GeoJSON schema are preserved verbatim
+(QuPath contract).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+import numpy as np
+
+from classpose_tpu.geometry import STRtree, deduplicate
+from classpose_tpu.log import get_logger
+from classpose_tpu.model_configs import resolve_model_config
+from classpose_tpu.pipeline.outputs import (
+    apply_bounds_offset_to_feature,
+    calculate_cellular_densities,
+    create_spatialdata_output,
+    filter_cells_by_tree,
+    load_roi_polygons,
+    map_cells_to_roi_classes,
+    polygon_to_geojson_feature,
+    polygons_to_centroids,
+    to_geojson_polygon,
+    write_feature_collection,
+)
+from classpose_tpu.pipeline.postprocess import process_tile
+from classpose_tpu.pipeline.slide_loader import (
+    DEFAULT_OVERLAP,
+    DEFAULT_TILE_SIZE,
+    SlideLoader,
+)
+from classpose_tpu.utils import get_geojson_output_filename
+
+logger = get_logger(__name__)
+
+TILE_BUCKETS = (256, 384, 512, 640, 768, 896, 1024)
+
+
+def _bucket_size(n: int) -> int:
+    for b in TILE_BUCKETS:
+        if n <= b:
+            return b
+    return int(256 * np.ceil(n / 256))
+
+
+class DeviceWorker:
+    """Single-device tile consumer: normalization + tiled net + dynamics on
+    device, mask→polygon extraction on a host thread pool."""
+
+    def __init__(
+        self,
+        model,
+        labels: list[str] | None,
+        prediction_to_slide_scale: float,
+        batch_size: int = 8,
+        augment: bool = False,
+        niter: int = 200,
+        n_post_threads: int = 4,
+        flow_threshold: float = 0.4,
+        cellprob_threshold: float = 0.0,
+        min_size: int = 15,
+    ):
+        self.model = model
+        self.labels = labels
+        self.scale = prediction_to_slide_scale
+        self.batch_size = batch_size
+        self.augment = augment
+        self.niter = niter
+        self.flow_threshold = flow_threshold
+        self.cellprob_threshold = cellprob_threshold
+        self.min_size = min_size
+        self._pool = ThreadPoolExecutor(max_workers=n_post_threads)
+        self._futures = []
+        self.n_tiles = 0
+        self.n_invalid = 0
+
+    def submit(self, tile: np.ndarray, coords, out_size: int):
+        """Run inference for one tile and queue host post-processing."""
+        b = _bucket_size(max(tile.shape[:2]))
+        if tile.shape[0] != b or tile.shape[1] != b:
+            canvas = np.zeros((b, b, 3), tile.dtype)
+            canvas[: tile.shape[0], : tile.shape[1]] = tile
+            tile = canvas
+        masks, flows, class_masks, _ = self.model.eval(
+            tile.astype(np.float32),
+            batch_size=self.batch_size,
+            augment=self.augment,
+            niter=self.niter,
+            flow_threshold=self.flow_threshold,
+            cellprob_threshold=self.cellprob_threshold,
+            min_size=self.min_size,
+        )
+        masks = masks[:out_size, :out_size]
+        cm = (
+            class_masks[:out_size, :out_size]
+            if self.labels is not None
+            else None
+        )
+        self.n_tiles += 1
+        self._futures.append(
+            self._pool.submit(
+                process_tile,
+                masks,
+                cm,
+                (float(coords[0]), float(coords[1])),
+                self.scale,
+                self.labels,
+            )
+        )
+
+    def collect(self) -> list[dict]:
+        cells = []
+        for fut in self._futures:
+            c, inv = fut.result()
+            cells.extend(c)
+            self.n_invalid += inv
+        self._pool.shutdown(wait=True)
+        return cells
+
+
+def infer_structure(model_path: str):
+    """Auto-detect (unet structure, n_classes) from the checkpoint —
+    reference predict_wsi.py:1377-1419."""
+    from classpose_tpu.nn.convert import infer_structure as _infer
+
+    return _infer(model_path)
+
+
+def main(args, model_override=None) -> dict:
+    """Run the full WSI pipeline; returns a small result summary dict.
+
+    ``model_override`` lets tests inject a model implementing the
+    ``eval`` contract (the reference tests use a toy net the same way,
+    SURVEY §4)."""
+    t_start = time.time()
+    os.makedirs(args.output_folder, exist_ok=True)
+    base_name = Path(args.slide_path).name.rsplit(".", 1)[0]
+
+    model_config = resolve_model_config(args.model_config)
+    model_config.download_if_necessary()
+    labels = model_config.cell_types
+
+    roi_tree = None
+    roi_class_dict = None
+    output_types = list(getattr(args, "output_type", None) or [])
+    if getattr(args, "roi_geojson", None):
+        need_classes = bool(
+            output_types and ("csv" in output_types
+                              or "spatialdata" in output_types)
+        )
+        loaded = load_roi_polygons(
+            args.roi_geojson, group_by_class=need_classes
+        )
+        if need_classes:
+            roi_tree, roi_class_dict = loaded
+        else:
+            roi_tree = loaded
+
+    if model_override is not None:
+        model = model_override
+        n_classes = getattr(model, "nclasses", len(labels) + 1)
+    else:
+        structure, n_classes = infer_structure(model_config.path)
+        logger.info(
+            "Inferred model structure: unet=%s n_classes=%d",
+            structure, n_classes,
+        )
+        if n_classes > 1 and len(labels) != n_classes:
+            logger.warning(
+                "Model has %d classes but config lists %d cell types",
+                n_classes, len(labels),
+            )
+
+        from classpose_tpu.runner import ClassposeModel
+
+        model = ClassposeModel(
+            pretrained_model=model_config.path,
+            nclasses=n_classes,
+            feature_transformation_structure=structure,
+            precision=getattr(args, "precision", "bf16"),
+        )
+    if n_classes <= 1:
+        labels = None
+
+    # ------------------------------------------------ tissue detection (QC)
+    tissue_polygons = None
+    tissue_features = None
+    tissue_area = 0.0
+    if getattr(args, "tissue_detection_model_path", None):
+        from classpose_tpu.grandqc import detect_tissue_wsi
+
+        tissue = detect_tissue_wsi(
+            args.slide_path,
+            model_path=args.tissue_detection_model_path,
+            min_area=getattr(args, "min_area", 0),
+        )
+        tissue_polygons = tissue["polygons"]
+        tissue_features = tissue["geojson"]["features"]
+        tissue_area = sum(p.area for p in tissue_polygons) * tissue[
+            "scale_to_level0"
+        ] ** 2
+        if not tissue_polygons:
+            logger.warning("No tissue detected in slide. Skipping inference.")
+            return {"n_cells": 0}
+
+    # --------------------------------------------------------------- slide
+    loader = SlideLoader(
+        slide_path=args.slide_path,
+        train_mpp=model_config.mpp,
+        tile_size=getattr(args, "tile_size", DEFAULT_TILE_SIZE),
+        overlap=getattr(args, "overlap", DEFAULT_OVERLAP),
+        roi_tree=roi_tree,
+        tissue_polygons=tissue_polygons,
+        mpp_override=getattr(args, "mpp", None),
+    ).open()
+
+    worker = DeviceWorker(
+        model,
+        labels,
+        prediction_to_slide_scale=loader.prediction_to_slide_scale,
+        batch_size=getattr(args, "batch_size", 8),
+        augment=bool(getattr(args, "tta", False)),
+    )
+
+    n_streamed = 0
+    for tile, coords, out_size in loader.stream():
+        worker.submit(tile, coords, out_size)
+        n_streamed += 1
+    logger.info("Processed %d tiles", n_streamed)
+    cells = worker.collect()
+    logger.info(
+        "Detected %d cells (%d invalid polygons dropped)",
+        len(cells), worker.n_invalid,
+    )
+
+    features = [to_geojson_polygon(c) for c in cells]
+    features = deduplicate(features)
+
+    # ------------------------------------------------------------- filters
+    if roi_tree is not None:
+        features = filter_cells_by_tree(features, roi_tree, keep_inside=True)
+    if tissue_polygons:
+        ttree = STRtree(tissue_polygons)
+        features = filter_cells_by_tree(features, ttree, keep_inside=True)
+
+    artefact_features = None
+    artefact_area = 0.0
+    if getattr(args, "artefact_detection_model_path", None):
+        from classpose_tpu.grandqc import detect_artefacts_wsi
+
+        art = detect_artefacts_wsi(
+            args.slide_path,
+            model_path=args.artefact_detection_model_path,
+            tissue_model_path=getattr(
+                args, "tissue_detection_model_path", None
+            ),
+        )
+        artefact_features = art["geojson"]["features"]
+        artefact_area = sum(p.area for p in art["polygons"]) * art[
+            "scale_to_level0"
+        ] ** 2
+        if getattr(args, "filter_artefacts", False) and art["polygons"]:
+            atree = STRtree(art["polygons_level0"])
+            features = filter_cells_by_tree(
+                features, atree, keep_inside=False
+            )
+
+    centroids = polygons_to_centroids(features)
+
+    # ------------------------------------------------- bounds offset shift
+    bx, by = loader.bounds_x, loader.bounds_y
+    if bx or by:
+        features = [
+            apply_bounds_offset_to_feature(f, bx, by) for f in features
+        ]
+        centroids = [
+            apply_bounds_offset_to_feature(f, bx, by) for f in centroids
+        ]
+        if tissue_features:
+            tissue_features = [
+                apply_bounds_offset_to_feature(f, bx, by)
+                for f in tissue_features
+            ]
+        if artefact_features:
+            artefact_features = [
+                apply_bounds_offset_to_feature(f, bx, by)
+                for f in artefact_features
+            ]
+
+    # --------------------------------------------------------------- write
+    out = Path(args.output_folder)
+    write_feature_collection(
+        features, out / get_geojson_output_filename("cell_contours",
+                                                    base_name)
+    )
+    write_feature_collection(
+        centroids, out / get_geojson_output_filename("cell_centroids",
+                                                     base_name)
+    )
+    if tissue_features is not None:
+        write_feature_collection(
+            tissue_features,
+            out / get_geojson_output_filename("tissue_contours", base_name),
+        )
+    if artefact_features is not None:
+        write_feature_collection(
+            artefact_features,
+            out / get_geojson_output_filename("artefact_contours", base_name),
+        )
+
+    densities = None
+    if output_types and labels is not None:
+        if roi_class_dict:
+            cells_by_roi = map_cells_to_roi_classes(
+                features, roi_class_dict,
+                getattr(args, "roi_class_priority", None),
+            )
+            tissue_by_roi = {
+                k: sum(p.area for p in v) for k, v in roi_class_dict.items()
+            }
+            artefact_by_roi = {k: 0.0 for k in roi_class_dict}
+            densities = calculate_cellular_densities(
+                cells_by_roi, tissue_by_roi, artefact_by_roi,
+                loader.mpp[0], loader.mpp[1], labels,
+            )
+        else:
+            densities = calculate_cellular_densities(
+                features,
+                tissue_area if tissue_area else _slide_area(loader),
+                artefact_area,
+                loader.mpp[0], loader.mpp[1], labels,
+            )
+        if "csv" in output_types:
+            densities.to_csv(
+                out / f"{base_name}_cellular_densities.csv", index=False
+            )
+    if output_types and "spatialdata" in output_types:
+        roi_features = None
+        if getattr(args, "roi_geojson", None):
+            with open(args.roi_geojson) as f:
+                roi_features = json.load(f).get("features")
+        create_spatialdata_output(
+            out / f"{base_name}_spatialdata.zarr",
+            features,
+            tissue_features,
+            artefact_features,
+            roi_features,
+            densities,
+            metadata={
+                "slide": str(args.slide_path),
+                "mpp": loader.mpp,
+                "model_config": str(args.model_config),
+                "n_cells": len(features),
+                "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            },
+        )
+
+    loader.close()
+    dt = time.time() - t_start
+    logger.info(
+        "Pipeline finished: %d cells in %.1fs (%.2f tiles/s)",
+        len(features), dt, n_streamed / dt if dt > 0 else 0,
+    )
+    return {
+        "n_cells": len(features),
+        "n_tiles": n_streamed,
+        "seconds": dt,
+        "features": features,
+    }
+
+
+def _slide_area(loader: SlideLoader) -> float:
+    W, H = loader.slide.level_dimensions[0]
+    return float(W) * float(H)

@@ -180,10 +180,26 @@ class ClassposeModel:
         if params is not None:
             self.params = params
         elif pretrained_model is not None:
-            from classpose_tpu.nn.convert import load_params
-
             models_logger.info(f"loading model {pretrained_model}")
-            self.params = load_params(pretrained_model, cfg)
+            if str(pretrained_model).endswith(".npz"):
+                from classpose_tpu.nn.convert import load_npz_checkpoint
+
+                self.params, meta = load_npz_checkpoint(pretrained_model)
+                if meta is not None:
+                    meta = dict(meta)
+                    meta["dtype"] = dtype
+                    if meta.get("feature_transformation_structure"):
+                        meta["feature_transformation_structure"] = tuple(
+                            meta["feature_transformation_structure"]
+                        )
+                    cfg = ClassTransformerConfig(**meta)
+                    self.cfg = cfg
+                    self.nclasses = cfg.n_cell_classes
+                    self.net = ClassTransformer(cfg)
+            else:
+                from classpose_tpu.nn.convert import load_params
+
+                self.params = load_params(pretrained_model, cfg)
         else:
             models_logger.warning(
                 "no pretrained model given — randomly initialized network"
@@ -225,13 +241,15 @@ class ClassposeModel:
         niter: int | None = None,
         augment: bool = False,
         tile_overlap: float = 0.1,
-        bsize: int = 256,
+        bsize: int | None = None,
         compute_masks: bool = True,
         **_unused,
     ):
         """Segment an image or list of images (reference models.py:478-827,
         2D path). Returns ``(masks, flows, class_masks, styles)`` with
         flows = (dx_to_circ(dP), dP, cellprob, y_class, input_shape)."""
+        if bsize is None:
+            bsize = self.cfg.bsize
         if isinstance(x, list):
             self.timing = []
             results = ([], [], [], [])

@@ -87,33 +87,49 @@ def download_if_unavailable(path: str, url: str, chunk_size: int = 1 << 20) -> s
     return path
 
 
-def get_slide_resolution(slide) -> float | None:
-    """Return microns-per-pixel for a slide reader object.
+def get_slide_resolution(slide) -> tuple[float, float] | None:
+    """Return (mpp_x, mpp_y) microns-per-pixel for a slide reader object.
 
     Follows the reference's resolution-probing order (utils.py:285-331):
-    an explicit ``openslide.mpp-x`` style property first, then TIFF
-    resolution tags with centimeter/inch unit conversion.
+    explicit ``openslide.mpp-x/y`` properties first, then TIFF resolution
+    tags with centimeter/inch unit conversion.
     """
     props = getattr(slide, "properties", {}) or {}
-    for key in ("openslide.mpp-x", "mpp-x", "mpp"):
-        if key in props:
-            try:
-                return float(props[key])
-            except (TypeError, ValueError):
-                pass
+
+    def _get(keys):
+        for key in keys:
+            if key in props:
+                try:
+                    return float(props[key])
+                except (TypeError, ValueError):
+                    pass
+        return None
+
+    x = _get(("openslide.mpp-x", "mpp-x", "mpp"))
+    y = _get(("openslide.mpp-y", "mpp-y", "mpp"))
+    if x is not None:
+        return (x, y if y is not None else x)
     # TIFF resolution tags: pixels per resolution unit
-    res = props.get("tiff.XResolution")
     unit = props.get("tiff.ResolutionUnit", "inch")
-    if res:
+
+    def _from_res(key):
+        res = props.get(key)
+        if not res:
+            return None
         try:
             res = float(res)
-            if res > 0:
-                if str(unit).lower().startswith("cent"):
-                    return 10_000.0 / res  # µm per pixel from px/cm
-                if str(unit).lower().startswith("inch"):
-                    return 25_400.0 / res  # µm per pixel from px/inch
         except (TypeError, ValueError):
-            pass
+            return None
+        if res <= 0:
+            return None
+        if str(unit).lower().startswith("cent"):
+            return 10_000.0 / res
+        return 25_400.0 / res
+
+    x = _from_res("tiff.XResolution")
+    y = _from_res("tiff.YResolution")
+    if x is not None:
+        return (x, y if y is not None else x)
     return None
 
 

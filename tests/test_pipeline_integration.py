@@ -1,0 +1,275 @@
+"""End-to-end pipeline integration tests on a synthetic WSI.
+
+Two models exercise the pipeline the way the reference's tests do
+(SURVEY §4: toy nets honoring the model contract + small real slides):
+
+- an *oracle model* that segments the synthetic nuclei by thresholding and
+  classifies them by color, validating detection counts, dedup across tile
+  overlaps, GeoJSON schema, densities CSV, and the SpatialData store;
+- the real ClassposeModel with a tiny random network loaded from a native
+  .npz checkpoint, validating the full weight-loading + inference path.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from classpose_tpu.io.array_reader import synthetic_wsi
+from classpose_tpu.pipeline.predict_wsi import main
+from classpose_tpu.runner.model import compute_class_masks
+
+
+class OracleModel:
+    """Segments synthetic dark nuclei by thresholding; classes by hue.
+
+    Honors the ClassposeModel.eval contract (masks, flows, class_masks,
+    styles)."""
+
+    nclasses = 4  # 3 cell classes + background slot convention
+
+    def eval(self, x, **kwargs):
+        import cv2
+        from scipy import ndimage
+
+        img = np.asarray(x)
+        if img.ndim == 3 and img.shape[-1] != 3:
+            img = np.moveaxis(img, 0, -1)
+        gray = img.mean(-1)
+        fg = (gray < 180).astype(np.uint8)
+        fg = cv2.morphologyEx(fg, cv2.MORPH_OPEN, np.ones((3, 3), np.uint8))
+        masks, _ = ndimage.label(fg)
+        # remove tiny fragments
+        counts = np.bincount(masks.ravel())
+        small = counts < 30
+        small[0] = False
+        masks[small[masks]] = 0
+        ids = np.unique(masks)
+        remap = np.zeros(ids.max() + 1, np.int32)
+        remap[ids] = np.arange(len(ids))
+        masks = remap[masks]
+        # class from mean color: class ids match synthetic_wsi palette order
+        y_class = np.zeros((4, *masks.shape), np.float32)
+        y_class[0] = 1.0
+        palette = np.array(
+            [[90, 60, 140], [60, 90, 160], [120, 70, 100]], float
+        )
+        for i in np.unique(masks)[1:]:
+            m = masks == i
+            mean = img[m].mean(0)
+            cls = 1 + int(np.argmin(((palette - mean) ** 2).sum(1)))
+            y_class[cls][m] = 10.0
+        class_masks, _ = compute_class_masks(masks, y_class)
+        dP = np.zeros((2, *masks.shape), np.float32)
+        cellprob = np.where(masks > 0, 6.0, -6.0).astype(np.float32)
+        return (
+            masks,
+            (None, dP, cellprob, y_class, img.shape),
+            class_masks,
+            np.zeros(256, np.float32),
+        )
+
+
+@pytest.fixture(scope="module")
+def synthetic_slide(tmp_path_factory):
+    td = tmp_path_factory.mktemp("slides")
+    slide, gt = synthetic_wsi(
+        width=3072, height=2048, n_cells=150, n_classes=3, seed=7, mpp=0.5
+    )
+    path = td / "synthetic.npy"
+    np.save(path, slide._level0)
+    return str(path), gt
+
+
+def _args(slide_path, out, **kw):
+    base = dict(
+        model_config="conic",
+        slide_path=slide_path,
+        output_folder=str(out),
+        tile_size=1024,
+        overlap=64,
+        batch_size=4,
+        precision="fp32",
+        tta=False,
+        roi_geojson=None,
+        output_type=None,
+        tissue_detection_model_path=None,
+        artefact_detection_model_path=None,
+        filter_artefacts=False,
+        roi_class_priority=None,
+        min_area=0,
+        mpp=0.5,
+    )
+    base.update(kw)
+    return type("Args", (), base)()
+
+
+@pytest.fixture(autouse=True)
+def _array_reader(monkeypatch):
+    monkeypatch.setenv("WSI_READER", "array")
+    # conic config resolution must not try to download: patch it
+    from classpose_tpu import model_configs
+
+    monkeypatch.setattr(
+        model_configs.ModelConfig, "download_if_necessary", lambda self: None
+    )
+
+
+def test_pipeline_oracle_end_to_end(synthetic_slide, tmp_path):
+    slide_path, gt = synthetic_slide
+    args = _args(slide_path, tmp_path, output_type=["csv", "spatialdata"])
+    model = OracleModel()
+    # oracle has 3 cell classes; pretend labels are the first 3 conic types
+    result = main(args, model_override=model)
+
+    n_gt = len(gt)
+    assert result["n_cells"] == pytest.approx(n_gt, abs=0.1 * n_gt)
+
+    # outputs exist and parse
+    cc = tmp_path / "synthetic_cell_contours.geojson"
+    cen = tmp_path / "synthetic_cell_centroids.geojson"
+    assert cc.exists() and cen.exists()
+    fc = json.loads(cc.read_text())
+    assert fc["type"] == "FeatureCollection"
+    feat = fc["features"][0]
+    assert feat["geometry"]["type"] == "Polygon"
+    props = feat["properties"]
+    assert props["objectType"] == "annotation"
+    assert {m["name"] for m in props["measurements"]} == {
+        "area", "perimeter", "centroidX", "centroidY"
+    }
+    assert "name" in props["classification"]
+
+    # detection accuracy: each GT center inside a predicted cell bbox
+    centroids = np.array(
+        [f["geometry"]["coordinates"] for f in
+         json.loads(cen.read_text())["features"]]
+    )
+    hits = 0
+    for cell in gt:
+        cx, cy = cell["center"]
+        d = np.sqrt(((centroids - [cx, cy]) ** 2).sum(1)).min()
+        if d < cell["radius"]:
+            hits += 1
+    assert hits / n_gt > 0.9
+
+    # densities CSV
+    import pandas as pd
+
+    dens = pd.read_csv(tmp_path / "synthetic_cellular_densities.csv")
+    assert set(dens.columns) == {"region", "cell_class", "count", "density"}
+    assert dens["count"].sum() == result["n_cells"]
+
+    # spatialdata store (zarr-lite)
+    store = tmp_path / "synthetic_spatialdata.zarr"
+    assert (store / ".zgroup").exists()
+    from classpose_tpu.io.zarrlite import read_zarr_array
+
+    xs = read_zarr_array(store / "points" / "x")
+    assert len(xs) == result["n_cells"]
+
+
+def test_pipeline_classification_accuracy(synthetic_slide, tmp_path):
+    slide_path, gt = synthetic_slide
+    args = _args(slide_path, tmp_path)
+    result = main(args, model_override=OracleModel())
+    feats = result["features"]
+    labels = ["Neutrophil", "Epithelial", "Lymphocyte"]  # conic[:3]
+    cents = np.array(
+        [
+            [
+                next(m["value"] for m in f["properties"]["measurements"]
+                     if m["name"] == "centroidX"),
+                next(m["value"] for m in f["properties"]["measurements"]
+                     if m["name"] == "centroidY"),
+            ]
+            for f in feats
+        ]
+    )
+    names = [f["properties"]["classification"]["name"] for f in feats]
+    correct = total = 0
+    for cell in gt:
+        cx, cy = cell["center"]
+        d = np.sqrt(((cents - [cx, cy]) ** 2).sum(1))
+        i = int(d.argmin())
+        if d[i] < cell["radius"]:
+            total += 1
+            if names[i] == labels[cell["class_id"] - 1]:
+                correct += 1
+    assert total > 0.8 * len(gt)
+    assert correct / total > 0.9
+
+
+def test_pipeline_roi_mode(synthetic_slide, tmp_path):
+    slide_path, gt = synthetic_slide
+    roi = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [[
+                        [0, 0], [1500, 0], [1500, 1500], [0, 1500], [0, 0]
+                    ]],
+                },
+                "properties": {"classification": {"name": "Tumour"}},
+            }
+        ],
+    }
+    roi_path = tmp_path / "roi.geojson"
+    roi_path.write_text(json.dumps(roi))
+    args = _args(
+        slide_path, tmp_path, roi_geojson=str(roi_path), output_type=["csv"]
+    )
+    result = main(args, model_override=OracleModel())
+    inside_gt = [
+        c for c in gt
+        if 0 <= c["center"][0] <= 1500 and 0 <= c["center"][1] <= 1500
+    ]
+    assert result["n_cells"] == pytest.approx(
+        len(inside_gt), abs=max(3, 0.15 * len(inside_gt))
+    )
+    import pandas as pd
+
+    dens = pd.read_csv(tmp_path / "synthetic_cellular_densities.csv")
+    assert set(dens["region"]) == {"Tumour"}
+
+
+def test_pipeline_with_real_tiny_model(synthetic_slide, tmp_path, monkeypatch):
+    """Full path including npz checkpoint loading + real inference."""
+    import jax
+
+    from classpose_tpu.nn import ClassTransformer, ClassTransformerConfig
+    from classpose_tpu.nn.convert import save_params
+
+    slide_path, _ = synthetic_slide
+    cfg = ClassTransformerConfig(
+        n_cell_classes=6, embed_dim=32, depth=1, num_heads=2, neck_dim=16,
+        bsize=64,
+    )
+    net = ClassTransformer(cfg)
+    params = net.init(
+        jax.random.PRNGKey(0), np.zeros((1, 3, 64, 64), np.float32)
+    )
+    ckpt = tmp_path / "tiny.npz"
+    save_params(params, str(ckpt), cfg)
+
+    import yaml
+
+    cfg_yaml = tmp_path / "config.yaml"
+    cfg_yaml.write_text(
+        yaml.safe_dump(
+            {
+                "path": str(ckpt),
+                "mpp": 0.5,
+                "cell_types": ["A", "B", "C", "D", "E", "F"],
+            }
+        )
+    )
+    args = _args(slide_path, tmp_path, model_config=str(cfg_yaml),
+                 tile_size=256, batch_size=4)
+    result = main(args)
+    assert result["n_tiles"] > 0
+    assert (tmp_path / "synthetic_cell_contours.geojson").exists()

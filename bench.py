@@ -1,0 +1,75 @@
+"""Benchmark: WSI tiles/sec/chip (bf16) on the flagship path.
+
+Measures the production per-chip unit of work: a 1024² slide tile at model
+MPP through the full device path — percentile normalization, the ViT-L SAM
+ClassTransformer over a 5×5 grid of 256² net tiles, taper-blended overlap
+averaging, and flow-dynamics instance recovery (Euler fixed point, seed
+clustering, flow-error QC) — i.e. everything the reference's GPU worker
+does per tile (predict_wsi.py:659-810) except host polygon extraction,
+which overlaps on CPU threads in the pipeline.
+
+``vs_baseline`` is measured against the driver north star
+(BASELINE.md: a 100k×100k 40× WSI end-to-end in <5 min on v5e-8):
+100_000/(1024-64) ≈ 105 tiles per side → 10_920 tiles / 300 s / 8 chips
+≈ 4.55 tiles/s/chip required. vs_baseline = measured / 4.55; ≥1.0 meets
+the target rate.
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+TARGET_TILES_PER_SEC_PER_CHIP = (100_000 / (1024 - 64)) ** 2 / 300.0 / 8.0
+
+
+def main():
+    import jax
+
+    from classpose_tpu.nn import ClassTransformerConfig
+    from classpose_tpu.parallel.mesh import enable_compilation_cache
+    from classpose_tpu.runner import ClassposeModel
+
+    enable_compilation_cache()
+
+    cfg = ClassTransformerConfig(n_cell_classes=6, dtype="bfloat16")
+    model = ClassposeModel(cfg=cfg, precision="bf16")
+
+    rng = np.random.default_rng(0)
+    tile = rng.uniform(0, 255, size=(1024, 1024, 3)).astype(np.float32)
+
+    def run_once():
+        masks, flows, class_masks, _ = model.eval(
+            tile, batch_size=8, niter=200, compute_masks=True
+        )
+        return masks
+
+    # warmup / compile
+    run_once()
+    n_iters = 8
+    t0 = time.time()
+    for _ in range(n_iters):
+        run_once()
+    dt = time.time() - t0
+    tiles_per_sec = n_iters / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "wsi_tiles_per_sec_per_chip_bf16",
+                "value": round(tiles_per_sec, 4),
+                "unit": "1024px_tiles/s/chip",
+                "vs_baseline": round(
+                    tiles_per_sec / TARGET_TILES_PER_SEC_PER_CHIP, 4
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

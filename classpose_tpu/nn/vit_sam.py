@@ -119,9 +119,48 @@ class Attention(nn.Module):
         k = jnp.swapaxes(k, 1, 2)
         v = jnp.swapaxes(v, 1, 2)
 
+        use_pallas = (
+            self.use_rel_pos
+            and self.dtype == jnp.bfloat16
+            and jax.default_backend() == "tpu"
+            and H * W == L
+            and head_dim % 64 == 0
+        )
+        if use_pallas:
+            rel_pos_h = self.param(
+                "rel_pos_h", nn.initializers.zeros,
+                (2 * self.input_size[0] - 1, head_dim), jnp.float32,
+            )
+            rel_pos_w = self.param(
+                "rel_pos_w", nn.initializers.zeros,
+                (2 * self.input_size[1] - 1, head_dim), jnp.float32,
+            )
+            Rh = get_rel_pos(H, H, rel_pos_h).astype(self.dtype)
+            Rw = get_rel_pos(W, W, rel_pos_w).astype(self.dtype)
+            q_hw = q.reshape(B, self.num_heads, H, W, head_dim)
+            rel_h = jnp.einsum("bnhwc,hkc->bnhwk", q_hw, Rh).reshape(
+                B, self.num_heads, L, H
+            )
+            rel_w = jnp.einsum("bnhwc,wkc->bnhwk", q_hw, Rw).reshape(
+                B, self.num_heads, L, W
+            )
+            from classpose_tpu.nn.attention import flash_attention_relpos
+
+            out = flash_attention_relpos(
+                q, k, v, rel_h, rel_w, float(scale), grid_hw=(H, W)
+            )
+            out = jnp.swapaxes(out, 1, 2).reshape(B, H, W, C)
+            return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
+        # at bf16, keep the L×L logits in bf16 (the MXU still accumulates
+        # fp32 internally); materializing them in fp32 doubles the HBM
+        # traffic of the whole block and dominates runtime at L=1024
+        acc_t = (
+            jnp.float32 if self.dtype == jnp.float32 else jnp.bfloat16
+        )
         attn = jnp.einsum(
             "bnld,bnmd->bnlm", q * scale, k,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc_t,
         )
 
         if self.use_rel_pos:
@@ -142,17 +181,26 @@ class Attention(nn.Module):
             q_hw = q.reshape(B, self.num_heads, H, W, head_dim)
             rel_h = jnp.einsum(
                 "bnhwc,hkc->bnhwk", q_hw, Rh,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=acc_t,
             )
             rel_w = jnp.einsum(
                 "bnhwc,wkc->bnhwk", q_hw, Rw,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=acc_t,
             )
             attn = attn.reshape(B, self.num_heads, H, W, H, W)
             attn = attn + rel_h[..., :, None] + rel_w[..., None, :]
             attn = attn.reshape(B, self.num_heads, L, L)
 
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+        if acc_t == jnp.float32:
+            attn = jax.nn.softmax(attn, axis=-1)
+        else:
+            # numerically-safe bf16 softmax: subtract the rowwise max and
+            # normalize with an fp32 rowwise sum; the L×L tensor itself
+            # never round-trips HBM in fp32
+            m = jnp.max(attn, axis=-1, keepdims=True)
+            p = jnp.exp((attn - m).astype(jnp.float32)).astype(jnp.bfloat16)
+            s = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+            attn = (p / s.astype(jnp.bfloat16)).astype(jnp.bfloat16)
         attn = attn.astype(self.dtype)
         out = jnp.einsum(
             "bnlm,bnmd->bnld", attn, v, preferred_element_type=jnp.float32

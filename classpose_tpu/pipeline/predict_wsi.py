@@ -213,11 +213,9 @@ def main(args, model_override=None) -> dict:
             model_path=args.tissue_detection_model_path,
             min_area=getattr(args, "min_area", 0),
         )
-        tissue_polygons = tissue["polygons"]
+        tissue_polygons = tissue["polygons"]  # level-0 coordinates
         tissue_features = tissue["geojson"]["features"]
-        tissue_area = sum(p.area for p in tissue_polygons) * tissue[
-            "scale_to_level0"
-        ] ** 2
+        tissue_area = sum(p.area for p in tissue_polygons)  # level-0 px²
         if not tissue_polygons:
             logger.warning("No tissue detected in slide. Skipping inference.")
             return {"n_cells": 0}
@@ -275,9 +273,7 @@ def main(args, model_override=None) -> dict:
             ),
         )
         artefact_features = art["geojson"]["features"]
-        artefact_area = sum(p.area for p in art["polygons"]) * art[
-            "scale_to_level0"
-        ] ** 2
+        artefact_area = sum(p.area for p in art["polygons"])  # level-0 px²
         if getattr(args, "filter_artefacts", False) and art["polygons"]:
             atree = STRtree(art["polygons_level0"])
             features = filter_cells_by_tree(

@@ -204,10 +204,23 @@ class ClassposeModel:
             models_logger.warning(
                 "no pretrained model given — randomly initialized network"
             )
-            self.params = self.net.init(
-                jax.random.PRNGKey(0),
-                jnp.zeros((1, 3, cfg.bsize, cfg.bsize)),
-            )
+            if cfg.depth >= 12:
+                # large nets: materialize zeros from shapes (a traced
+                # net.init on the TPU takes minutes for ViT-L)
+                shapes = jax.eval_shape(
+                    lambda: self.net.init(
+                        jax.random.PRNGKey(0),
+                        jnp.zeros((1, 3, cfg.bsize, cfg.bsize)),
+                    )
+                )
+                self.params = jax.tree_util.tree_map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), shapes
+                )
+            else:
+                self.params = self.net.init(
+                    jax.random.PRNGKey(0),
+                    jnp.zeros((1, 3, cfg.bsize, cfg.bsize)),
+                )
 
         self._apply = lambda x: self.net.apply(self.params, x)
         self._runners: dict = {}

@@ -38,7 +38,15 @@ def make_unetpp_predict_fn(model_path: str, classes: int):
     from classpose_tpu.nn.convert import load_npz_checkpoint
 
     params, meta = load_npz_checkpoint(model_path)
-    cfg = UnetPlusPlusConfig(classes=classes)
+    if meta is not None:
+        meta = {
+            k: tuple(v) if isinstance(v, list) else v
+            for k, v in meta.items()
+        }
+        cfg = UnetPlusPlusConfig(**{**meta, "classes": classes}
+                                 if "classes" not in meta else meta)
+    else:
+        cfg = UnetPlusPlusConfig(classes=classes)
     net = UnetPlusPlus(cfg)
     # imagenet normalization (smp preprocessing for timm-efficientnet)
     mean = jnp.asarray([0.485, 0.456, 0.406])

@@ -60,13 +60,17 @@ def save_params(params: dict, path: str, cfg=None) -> None:
     self-describing (architecture reconstructable without flags)."""
     flat = flatten_params(params)
     if cfg is not None:
+        import dataclasses
         import json
 
-        meta = dict(cfg.__dict__)
-        if meta.get("feature_transformation_structure") is not None:
-            meta["feature_transformation_structure"] = list(
-                meta["feature_transformation_structure"]
-            )
+        meta = (
+            dict(cfg) if isinstance(cfg, dict)
+            else dataclasses.asdict(cfg) if dataclasses.is_dataclass(cfg)
+            else dict(cfg.__dict__)
+        )
+        for k, v in list(meta.items()):
+            if isinstance(v, tuple):
+                meta[k] = list(v)
         flat["__meta__"] = np.frombuffer(
             json.dumps(meta).encode(), np.uint8
         )

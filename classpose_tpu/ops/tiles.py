@@ -173,17 +173,25 @@ def average_tiles(
     y: jnp.ndarray, grid: TileGrid, eps: float = 1e-12
 ) -> jnp.ndarray:
     """Blend (ntiles, C, bsize, bsize) predictions into (C, Ly, Lx) with the
-    taper window (cellpose average_tiles, reference core.py:215-221)."""
+    taper window (cellpose average_tiles, reference core.py:215-221).
+
+    The accumulation runs in the input dtype (bf16 in production) — each
+    unrolled tile update round-trips the full output buffer through HBM, so
+    halving the element size halves the dominant traffic; the final
+    normalization is fp32."""
     b = grid.bsize
-    mask = jnp.asarray(taper_mask(b))
-    yf = jnp.zeros((y.shape[1], grid.Ly, grid.Lx), jnp.float32)
+    acc_t = y.dtype if y.dtype == jnp.bfloat16 else jnp.float32
+    mask = jnp.asarray(taper_mask(b)).astype(acc_t)
+    yf = jnp.zeros((y.shape[1], grid.Ly, grid.Lx), acc_t)
     navg = jnp.zeros((grid.Ly, grid.Lx), jnp.float32)
     k = 0
     for ys in grid.ystart:
         for xs in grid.xstart:
             yf = yf.at[:, ys : ys + b, xs : xs + b].add(
-                y[k].astype(jnp.float32) * mask
+                y[k].astype(acc_t) * mask
             )
-            navg = navg.at[ys : ys + b, xs : xs + b].add(mask)
+            navg = navg.at[ys : ys + b, xs : xs + b].add(
+                mask.astype(jnp.float32)
+            )
             k += 1
-    return yf / (navg + eps)
+    return yf.astype(jnp.float32) / (navg + eps)

@@ -155,8 +155,15 @@ def main(args, model_override=None) -> dict:
     os.makedirs(args.output_folder, exist_ok=True)
     base_name = Path(args.slide_path).name.rsplit(".", 1)[0]
 
-    model_config = resolve_model_config(args.model_config)
-    model_config.download_if_necessary()
+    from classpose_tpu.model_configs import ModelConfig
+
+    model_config = (
+        args.model_config
+        if isinstance(args.model_config, ModelConfig)
+        else resolve_model_config(args.model_config)
+    )
+    if model_override is None:
+        model_config.download_if_necessary()
     labels = model_config.cell_types
 
     roi_tree = None

@@ -85,8 +85,10 @@ class TileRunner:
             chunks = tiles.reshape((nchunk, bs) + tiles.shape[1:])
 
             def fwd(chunk):
+                # keep the network dtype (bf16 in production) through
+                # unaugment/blending — the blend is HBM-bound
                 y, style = self.apply_fn(chunk)
-                return y.astype(jnp.float32), style.astype(jnp.float32)
+                return y, style.astype(jnp.float32)
 
             y, styles = jax.lax.map(fwd, chunks)
             y = y.reshape((nchunk * bs,) + y.shape[2:])[:nt]

@@ -104,7 +104,7 @@ def _diffuse_and_grad(
 
 
 def masks_to_flows(
-    masks, max_id: int | None = None, niter: int = 200
+    masks, max_id: int | None = None, niter: int = 200, device=None
 ) -> jnp.ndarray:
     """(H, W) instance labels → (2, H, W) unit flow field [dy, dx].
 
@@ -114,9 +114,13 @@ def masks_to_flows(
     """
     masks_np = np.asarray(masks)
     center_map = instance_center_map(masks_np)
-    return _diffuse_and_grad(
-        jnp.asarray(masks_np), jnp.asarray(center_map), niter
-    )
+    if device is not None:
+        m = jax.device_put(masks_np, device)
+        c = jax.device_put(center_map, device)
+    else:
+        m = jnp.asarray(masks_np)
+        c = jnp.asarray(center_map)
+    return _diffuse_and_grad(m, c, niter)
 
 
 def instance_centers(masks, max_id: int):

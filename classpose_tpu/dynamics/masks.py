@@ -155,7 +155,8 @@ def get_masks_from_positions(
     return jnp.where(iscell, masks, 0)
 
 
-def flow_errors(masks, dP, max_id: int | None = None, niter: int = 200):
+def flow_errors(masks, dP, max_id: int | None = None, niter: int = 200,
+                device=None):
     """Per-instance mean squared error between flows recomputed from the
     candidate masks and the predicted flows (cellpose flow QC,
     ``remove_bad_flow_masks``). Returns (nmax+1,) float32.
@@ -164,7 +165,7 @@ def flow_errors(masks, dP, max_id: int | None = None, niter: int = 200):
     aggregation is a host bincount, so nothing recompiles when the
     instance count changes tile to tile."""
     masks_np = np.asarray(masks)
-    mu = np.asarray(masks_to_flows(masks_np, niter=niter))
+    mu = np.asarray(masks_to_flows(masks_np, niter=niter, device=device))
     dP_np = np.asarray(dP)
     err_map = ((mu - dP_np / 5.0) ** 2).sum(axis=0)
     ids = masks_np.ravel().astype(np.int64)
@@ -210,14 +211,19 @@ def compute_masks(
     min_size: int = 15,
     max_size_fraction: float = 0.4,
     qc_niter: int = 100,
+    device=None,
 ) -> np.ndarray:
     """Full mask recovery for one (2, H, W) flow field + (H, W) cellprob.
 
     Device portion (Euler + clustering + flow QC) is jitted; host portion
     does sequential relabeling and hole filling. Returns (H, W) int32.
     """
-    dP = jnp.asarray(dP, jnp.float32)
-    cellprob = jnp.asarray(cellprob, jnp.float32)
+    if device is not None:
+        dP = jax.device_put(np.asarray(dP, np.float32), device)
+        cellprob = jax.device_put(np.asarray(cellprob, np.float32), device)
+    else:
+        dP = jnp.asarray(dP, jnp.float32)
+        cellprob = jnp.asarray(cellprob, jnp.float32)
     iscell = cellprob > cellprob_threshold
 
     if not bool(jnp.any(iscell)):
@@ -250,7 +256,8 @@ def compute_masks(
 
     # flow-error QC
     if flow_threshold is not None and flow_threshold > 0:
-        errs = flow_errors(masks, np.asarray(dP), niter=qc_niter)
+        errs = flow_errors(masks, np.asarray(dP), niter=qc_niter,
+                           device=device)
         bad = errs > flow_threshold
         bad[0] = False
         if bad.any():

@@ -63,8 +63,15 @@ def _bucket_size(n: int) -> int:
 
 
 class DeviceWorker:
-    """Single-device tile consumer: normalization + tiled net + dynamics on
-    device, mask→polygon extraction on a host thread pool."""
+    """Tile consumer: normalization + tiled net + dynamics on device(s),
+    mask→polygon extraction on a host thread pool.
+
+    Multi-device execution mirrors the reference's one-process-per-GPU tile
+    workers (predict_wsi.py:1542-1592) the JAX way: tiles are dispatched
+    round-robin onto per-device inference threads (async device dispatch
+    keeps every chip busy) while polygon extraction overlaps on host
+    threads. ``devices`` comes from the ``--device`` flag
+    (tpu / tpu:0,1 / the reference's cuda:0,1 syntax)."""
 
     def __init__(
         self,
@@ -78,8 +85,10 @@ class DeviceWorker:
         flow_threshold: float = 0.4,
         cellprob_threshold: float = 0.0,
         min_size: int = 15,
+        devices: list | None = None,
     ):
-        self.model = model
+        import jax
+
         self.labels = labels
         self.scale = prediction_to_slide_scale
         self.batch_size = batch_size
@@ -93,14 +102,29 @@ class DeviceWorker:
         self.n_tiles = 0
         self.n_invalid = 0
 
-    def submit(self, tile: np.ndarray, coords, out_size: int):
-        """Run inference for one tile and queue host post-processing."""
-        b = _bucket_size(max(tile.shape[:2]))
-        if tile.shape[0] != b or tile.shape[1] != b:
-            canvas = np.zeros((b, b, 3), tile.dtype)
-            canvas[: tile.shape[0], : tile.shape[1]] = tile
-            tile = canvas
-        masks, flows, class_masks, _ = self.model.eval(
+        devices = devices or [jax.devices()[0]]
+        self.models = [model]
+        for dev in devices[1:]:
+            # replicate the model onto each extra device; jit dispatch
+            # follows the argument placement, so each replica's work runs
+            # on its own chip
+            replica = type(model).__new__(type(model))
+            replica.__dict__.update(model.__dict__)
+            replica.params = jax.device_put(model.params, dev)
+            replica._apply = (
+                lambda x, _r=replica: _r.net.apply(_r.params, x)
+            )
+            replica._runners = {}
+            self.models.append(replica)
+        self._infer_pool = (
+            ThreadPoolExecutor(max_workers=len(self.models))
+            if len(self.models) > 1
+            else None
+        )
+        self._rr = 0
+
+    def _run_one(self, model, tile: np.ndarray, coords, out_size: int):
+        masks, flows, class_masks, _ = model.eval(
             tile.astype(np.float32),
             batch_size=self.batch_size,
             augment=self.augment,
@@ -115,24 +139,48 @@ class DeviceWorker:
             if self.labels is not None
             else None
         )
-        self.n_tiles += 1
-        self._futures.append(
-            self._pool.submit(
-                process_tile,
-                masks,
-                cm,
-                (float(coords[0]), float(coords[1])),
-                self.scale,
-                self.labels,
-            )
+        return self._pool.submit(
+            process_tile,
+            masks,
+            cm,
+            (float(coords[0]), float(coords[1])),
+            self.scale,
+            self.labels,
         )
+
+    def submit(self, tile: np.ndarray, coords, out_size: int):
+        """Run inference for one tile and queue host post-processing."""
+        b = _bucket_size(max(tile.shape[:2]))
+        if tile.shape[0] != b or tile.shape[1] != b:
+            canvas = np.zeros((b, b, 3), tile.dtype)
+            canvas[: tile.shape[0], : tile.shape[1]] = tile
+            tile = canvas
+        self.n_tiles += 1
+        model = self.models[self._rr % len(self.models)]
+        self._rr += 1
+        if self._infer_pool is not None:
+            self._futures.append(
+                self._infer_pool.submit(
+                    self._run_one, model, tile, coords, out_size
+                )
+            )
+        else:
+            self._futures.append(
+                self._run_one(model, tile, coords, out_size)
+            )
 
     def collect(self) -> list[dict]:
         cells = []
         for fut in self._futures:
-            c, inv = fut.result()
+            res = fut.result()
+            # multi-device path returns a nested future from the post pool
+            if hasattr(res, "result"):
+                res = res.result()
+            c, inv = res
             cells.extend(c)
             self.n_invalid += inv
+        if self._infer_pool is not None:
+            self._infer_pool.shutdown(wait=True)
         self._pool.shutdown(wait=True)
         return cells
 
@@ -238,13 +286,20 @@ def main(args, model_override=None) -> dict:
         mpp_override=getattr(args, "mpp", None),
     ).open()
 
+    from classpose_tpu.utils import get_device
+
+    devices = get_device(getattr(args, "device", None))
     worker = DeviceWorker(
         model,
         labels,
         prediction_to_slide_scale=loader.prediction_to_slide_scale,
         batch_size=getattr(args, "batch_size", 8),
         augment=bool(getattr(args, "tta", False)),
+        devices=devices,
+        n_post_threads=getattr(args, "inference_threads", None) or 4,
     )
+    if len(devices) > 1:
+        logger.info("Tile-parallel inference over %d devices", len(devices))
 
     n_streamed = 0
     for tile, coords, out_size in loader.stream():

@@ -350,6 +350,17 @@ class ClassposeModel:
         if compute_masks:
             niter0 = 200
             niter_eff = niter0 if niter is None or niter == 0 else niter
+            # keep dynamics on the same device as the params (multi-device
+            # tile parallelism places replicas on different chips)
+            leaves = jax.tree_util.tree_leaves(self.params)
+            dev = None
+            if leaves:
+                ds = getattr(leaves[0], "devices", None)
+                if callable(ds):
+                    try:
+                        dev = next(iter(ds()))
+                    except Exception:
+                        dev = None
             masks = _dyn_compute_masks(
                 dP,
                 cellprob,
@@ -358,6 +369,7 @@ class ClassposeModel:
                 flow_threshold=flow_threshold,
                 min_size=min_size,
                 max_size_fraction=max_size_fraction,
+                device=dev,
             )
             if not resample and masks.shape != (Ly0, Lx0):
                 masks = _resize_chw(masks.astype(np.int32), Ly0, Lx0,

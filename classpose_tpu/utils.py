@@ -144,7 +144,9 @@ def get_device(device: str | None) -> list:
     import jax
 
     if device is None or device == "":
-        return jax.devices()
+        # auto: single default device (multi-device must be explicit, like
+        # the reference's 'cuda:0,1')
+        return [jax.devices()[0]]
     device = device.strip().lower()
     if ":" in device:
         platform, idx_str = device.split(":", 1)

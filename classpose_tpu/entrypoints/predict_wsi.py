@@ -88,6 +88,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--mpp", type=float, default=None,
         help="Override slide microns-per-pixel when metadata is missing.",
     )
+    parser.add_argument(
+        "--profile", type=str, default=None,
+        help="Directory for a jax.profiler trace of the run.",
+    )
     return parser
 
 

@@ -101,6 +101,7 @@ class DeviceWorker:
         self._futures = []
         self.n_tiles = 0
         self.n_invalid = 0
+        self.infer_seconds = 0.0  # cumulative device-path time (§5.1 timers)
 
         devices = devices or [jax.devices()[0]]
         self.models = [model]
@@ -124,16 +125,11 @@ class DeviceWorker:
         self._rr = 0
 
     def _run_one(self, model, tile: np.ndarray, coords, out_size: int):
-        masks, flows, class_masks, _ = model.eval(
-            tile.astype(np.float32),
-            batch_size=self.batch_size,
-            augment=self.augment,
-            niter=self.niter,
-            flow_threshold=self.flow_threshold,
-            cellprob_threshold=self.cellprob_threshold,
-            min_size=self.min_size,
+        t0 = time.time()
+        masks, flows, class_masks, _ = self._eval(
+            model, tile, coords, out_size
         )
-        masks = masks[:out_size, :out_size]
+        self.infer_seconds += time.time() - t0
         cm = (
             class_masks[:out_size, :out_size]
             if self.labels is not None
@@ -141,11 +137,22 @@ class DeviceWorker:
         )
         return self._pool.submit(
             process_tile,
-            masks,
+            masks[:out_size, :out_size],
             cm,
             (float(coords[0]), float(coords[1])),
             self.scale,
             self.labels,
+        )
+
+    def _eval(self, model, tile, coords, out_size):
+        return model.eval(
+            tile.astype(np.float32),
+            batch_size=self.batch_size,
+            augment=self.augment,
+            niter=self.niter,
+            flow_threshold=self.flow_threshold,
+            cellprob_threshold=self.cellprob_threshold,
+            min_size=self.min_size,
         )
 
     def submit(self, tile: np.ndarray, coords, out_size: int):
@@ -301,15 +308,35 @@ def main(args, model_override=None) -> dict:
     if len(devices) > 1:
         logger.info("Tile-parallel inference over %d devices", len(devices))
 
+    profile_dir = getattr(args, "profile", None)
+    if profile_dir:
+        import jax
+
+        jax.profiler.start_trace(str(profile_dir))
+        logger.info("jax profiler trace → %s", profile_dir)
+
     n_streamed = 0
+    t_stream0 = time.time()
     for tile, coords, out_size in loader.stream():
         worker.submit(tile, coords, out_size)
         n_streamed += 1
+        if n_streamed % 50 == 0:
+            logger.info(
+                "tiles: %d submitted (%.2f tiles/s, device %.1fs)",
+                n_streamed, n_streamed / (time.time() - t_stream0),
+                worker.infer_seconds,
+            )
+    t_stream = time.time() - t_stream0
     logger.info("Processed %d tiles", n_streamed)
     cells = worker.collect()
+    if profile_dir:
+        import jax
+
+        jax.profiler.stop_trace()
     logger.info(
-        "Detected %d cells (%d invalid polygons dropped)",
-        len(cells), worker.n_invalid,
+        "Detected %d cells (%d invalid polygons dropped); stage timers: "
+        "read+infer %.1fs (device-path %.1fs)",
+        len(cells), worker.n_invalid, t_stream, worker.infer_seconds,
     )
 
     features = [to_geojson_polygon(c) for c in cells]

@@ -66,6 +66,7 @@ def normalize_img(
     tile_norm_blocksize: int = 0,
     norm3D: bool = True,
     tile_norm_smooth3D: int = 1,
+    percentile_subsample: int = 1,
     **_ignored,
 ) -> jnp.ndarray:
     """Normalize so 0.0 ≈ 1st percentile and 1.0 ≈ 99th percentile per
@@ -102,8 +103,19 @@ def normalize_img(
             img, ax, perc_low, perc_high, int(tile_norm_blocksize), invert
         )
 
-    x01 = jnp.percentile(img, perc_low, axis=reduce_axes, keepdims=True)
-    x99 = jnp.percentile(img, perc_high, axis=reduce_axes, keepdims=True)
+    stat_src = img
+    if percentile_subsample > 1 and img.ndim >= 2:
+        # estimate percentiles on a strided subsample — the sort dominates
+        # normalization cost at production tile sizes, and 1st/99th
+        # percentiles of natural tiles are insensitive to 2x striding
+        d = int(percentile_subsample)
+        sl = [slice(None)] * img.ndim
+        for axis_i in range(img.ndim):
+            if axis_i != ax:
+                sl[axis_i] = slice(None, None, d)
+        stat_src = img[tuple(sl)]
+    x01 = jnp.percentile(stat_src, perc_low, axis=reduce_axes, keepdims=True)
+    x99 = jnp.percentile(stat_src, perc_high, axis=reduce_axes, keepdims=True)
     scale = jnp.maximum(x99 - x01, 1e-3)
     out = (img - x01) / scale
     if invert:

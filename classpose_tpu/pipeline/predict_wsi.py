@@ -153,6 +153,11 @@ class DeviceWorker:
             flow_threshold=self.flow_threshold,
             cellprob_threshold=self.cellprob_threshold,
             min_size=self.min_size,
+            # production throughput: flow-QC recomputation at half res
+            # (unit flows are scale-free; threshold semantics unchanged)
+            # and percentile stats on a 2x-strided subsample
+            qc_downsample=2,
+            normalize={"percentile_subsample": 2},
         )
 
     def submit(self, tile: np.ndarray, coords, out_size: int):

@@ -256,6 +256,7 @@ class ClassposeModel:
         tile_overlap: float = 0.1,
         bsize: int | None = None,
         compute_masks: bool = True,
+        qc_downsample: int = 1,
         **_unused,
     ):
         """Segment an image or list of images (reference models.py:478-827,
@@ -285,6 +286,7 @@ class ClassposeModel:
                     tile_overlap=tile_overlap,
                     bsize=bsize,
                     compute_masks=compute_masks,
+                    qc_downsample=qc_downsample,
                 )
                 for acc, v in zip(results, (mi, fi, ci, si)):
                     acc.append(v)
@@ -328,6 +330,9 @@ class ClassposeModel:
                     sharpen_radius=norm_params["sharpen_radius"],
                     smooth_radius=norm_params["smooth_radius"],
                     tile_norm_blocksize=norm_params["tile_norm_blocksize"],
+                    percentile_subsample=norm_params.get(
+                        "percentile_subsample", 1
+                    ),
                 )
             )
 
@@ -369,6 +374,7 @@ class ClassposeModel:
                 flow_threshold=flow_threshold,
                 min_size=min_size,
                 max_size_fraction=max_size_fraction,
+                qc_downsample=qc_downsample,
                 device=dev,
             )
             if not resample and masks.shape != (Ly0, Lx0):

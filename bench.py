@@ -43,10 +43,9 @@ def main():
     tile = rng.uniform(0, 255, size=(1024, 1024, 3)).astype(np.float32)
 
     def run_once():
-        # production pipeline settings (DeviceWorker._eval)
+        # default-fidelity pipeline settings (DeviceWorker._eval defaults)
         masks, flows, class_masks, _ = model.eval(
             tile, batch_size=8, niter=200, compute_masks=True,
-            qc_downsample=2, normalize={"percentile_subsample": 2},
         )
         return masks
 

@@ -264,8 +264,9 @@ def compute_masks(
             return masks
 
     # flow-error QC; qc_downsample=2 runs the recomputation at half
-    # resolution (unit flows are scale-free) — 4x less traffic for the
-    # production path, exact parity with qc_downsample=1
+    # resolution (4x less traffic). APPROXIMATION: thin instances that
+    # vanish under striding skip QC and small cells' errors shift — use
+    # only when throughput matters more than exact reference parity
     if flow_threshold is not None and flow_threshold > 0:
         d = max(1, int(qc_downsample))
         errs = flow_errors(

@@ -92,6 +92,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--profile", type=str, default=None,
         help="Directory for a jax.profiler trace of the run.",
     )
+    parser.add_argument(
+        "--fast_qc", action="store_true", default=False,
+        help="Throughput approximations: half-resolution flow-QC and "
+        "strided percentile stats (changes results for thin/small "
+        "instances near the flow threshold).",
+    )
     return parser
 
 

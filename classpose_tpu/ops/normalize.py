@@ -28,6 +28,7 @@ NORMALIZE_DEFAULT: dict[str, Any] = {
     "tile_norm_blocksize": 0,
     "tile_norm_smooth3D": 1,
     "invert": False,
+    "percentile_subsample": 1,
 }
 
 

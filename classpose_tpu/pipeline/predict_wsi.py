@@ -86,6 +86,8 @@ class DeviceWorker:
         cellprob_threshold: float = 0.0,
         min_size: int = 15,
         devices: list | None = None,
+        qc_downsample: int = 1,
+        percentile_subsample: int = 1,
     ):
         import jax
 
@@ -97,6 +99,8 @@ class DeviceWorker:
         self.flow_threshold = flow_threshold
         self.cellprob_threshold = cellprob_threshold
         self.min_size = min_size
+        self.qc_downsample = qc_downsample
+        self.percentile_subsample = percentile_subsample
         self._pool = ThreadPoolExecutor(max_workers=n_post_threads)
         self._futures = []
         self.n_tiles = 0
@@ -153,11 +157,12 @@ class DeviceWorker:
             flow_threshold=self.flow_threshold,
             cellprob_threshold=self.cellprob_threshold,
             min_size=self.min_size,
-            # production throughput: flow-QC recomputation at half res
-            # (unit flows are scale-free; threshold semantics unchanged)
-            # and percentile stats on a 2x-strided subsample
-            qc_downsample=2,
-            normalize={"percentile_subsample": 2},
+            # optional throughput approximations (--fast_qc): half-res
+            # flow-QC recomputation and strided percentile stats. These
+            # CHANGE results for thin/small instances near the flow
+            # threshold, so full fidelity (1) is the default.
+            qc_downsample=self.qc_downsample,
+            normalize={"percentile_subsample": self.percentile_subsample},
         )
 
     def submit(self, tile: np.ndarray, coords, out_size: int):
@@ -309,6 +314,8 @@ def main(args, model_override=None) -> dict:
         augment=bool(getattr(args, "tta", False)),
         devices=devices,
         n_post_threads=getattr(args, "inference_threads", None) or 4,
+        qc_downsample=2 if getattr(args, "fast_qc", False) else 1,
+        percentile_subsample=2 if getattr(args, "fast_qc", False) else 1,
     )
     if len(devices) > 1:
         logger.info("Tile-parallel inference over %d devices", len(devices))

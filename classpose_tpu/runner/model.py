@@ -330,9 +330,9 @@ class ClassposeModel:
                     sharpen_radius=norm_params["sharpen_radius"],
                     smooth_radius=norm_params["smooth_radius"],
                     tile_norm_blocksize=norm_params["tile_norm_blocksize"],
-                    percentile_subsample=norm_params.get(
-                        "percentile_subsample", 1
-                    ),
+                    percentile_subsample=norm_params[
+                        "percentile_subsample"
+                    ],
                 )
             )
 

@@ -338,3 +338,57 @@ def load_params(path: str, cfg=None) -> dict:
         "converted torch checkpoint %s (%d tensors)", path, len(sd)
     )
     return params
+
+
+# ------------------------------------------------------- partial head load
+
+def load_classification_head(params: dict, checkpoint_path: str) -> dict:
+    """Graft the ``out`` / ``out_class`` heads from another checkpoint into
+    an existing param tree (reference vit_sam.py:251-267
+    ``load_classification_head`` — missing keys are allowed).
+
+    Accepts native .npz or torch .pt checkpoints; returns a new tree.
+    """
+    import copy
+
+    path = str(checkpoint_path)
+    if path.endswith(".npz"):
+        donor, _ = load_npz_checkpoint(path)
+    else:
+        donor = convert_state_dict(_torch_load(path))
+    out = copy.deepcopy(params)
+    for head in ("out", "out_class"):
+        sub = donor.get("params", donor).get(head)
+        if sub is not None:
+            out.setdefault("params", {})[head] = sub
+            logger.info("loaded %s head from %s", head, path)
+    return out
+
+
+def save_trainable_params(
+    params: dict, path: str, freeze_labels: dict | None = None, cfg=None
+) -> None:
+    """Save only trainable params (reference save_model(
+    save_only_trainable_params=True), vit_sam.py:269-285). ``freeze_labels``
+    is a pytree of 'net'/'frozen' labels as built by the trainer's freeze
+    masks; frozen leaves are dropped from the flat file."""
+    flat = flatten_params(params)
+    if freeze_labels:
+        labels = flatten_params(freeze_labels)
+        flat = {k: v for k, v in flat.items()
+                if labels.get(k, "net") != "frozen"}
+    tmp = dict(flat)
+    if cfg is not None:
+        import dataclasses
+        import json
+
+        meta = (
+            dict(cfg) if isinstance(cfg, dict)
+            else dataclasses.asdict(cfg) if dataclasses.is_dataclass(cfg)
+            else dict(cfg.__dict__)
+        )
+        for k, v in list(meta.items()):
+            if isinstance(v, tuple):
+                meta[k] = list(v)
+        tmp["__meta__"] = np.frombuffer(json.dumps(meta).encode(), np.uint8)
+    np.savez_compressed(path, **tmp)

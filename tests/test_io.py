@@ -92,6 +92,8 @@ def test_wsi_reader_facade(monkeypatch, tmp_path):
     assert cls.__name__ == "ArraySlide"
     monkeypatch.setenv("WSI_READER", "tiff")
     assert get_wsi_reader().__name__ == "TiffSlide"
+    monkeypatch.setenv("WSI_READER", "czi-zeiss")
+    assert get_wsi_reader().__name__ == "CZISlide"
     monkeypatch.setenv("WSI_READER", "openslide")
     assert get_wsi_reader().__name__ in ("OpenSlide", "TiffSlide")
 

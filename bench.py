@@ -40,23 +40,23 @@ def main():
     model = ClassposeModel(cfg=cfg, precision="bf16")
 
     rng = np.random.default_rng(0)
-    tile = rng.uniform(0, 255, size=(1024, 1024, 3)).astype(np.float32)
+    TILE_BATCH = 4  # pipeline --tile_batch 4: one device program per batch
+    tiles = rng.uniform(
+        0, 255, size=(TILE_BATCH, 1024, 1024, 3)
+    ).astype(np.float32)
 
     def run_once():
-        # default-fidelity pipeline settings (DeviceWorker._eval defaults)
-        masks, flows, class_masks, _ = model.eval(
-            tile, batch_size=8, niter=200, compute_masks=True,
-        )
-        return masks
+        # default-fidelity pipeline settings (DeviceWorker batched path)
+        return model.eval_batch(tiles, batch_size=8, niter=200)
 
     # warmup / compile
     run_once()
-    n_iters = 8
+    n_iters = 3
     t0 = time.time()
     for _ in range(n_iters):
         run_once()
     dt = time.time() - t0
-    tiles_per_sec = n_iters / dt
+    tiles_per_sec = n_iters * TILE_BATCH / dt
 
     print(
         json.dumps(

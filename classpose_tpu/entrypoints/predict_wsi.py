@@ -93,6 +93,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="Directory for a jax.profiler trace of the run.",
     )
     parser.add_argument(
+        "--tile_batch", type=int, default=1,
+        help="Slide tiles per device program (batches normalization, "
+        "forward and Euler integration; amortizes dispatch overhead).",
+    )
+    parser.add_argument(
         "--fast_qc", action="store_true", default=False,
         help="Throughput approximations: half-resolution flow-QC and "
         "strided percentile stats (changes results for thin/small "

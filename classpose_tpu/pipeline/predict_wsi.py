@@ -88,6 +88,7 @@ class DeviceWorker:
         devices: list | None = None,
         qc_downsample: int = 1,
         percentile_subsample: int = 1,
+        tile_batch: int = 1,
     ):
         import jax
 
@@ -101,6 +102,8 @@ class DeviceWorker:
         self.min_size = min_size
         self.qc_downsample = qc_downsample
         self.percentile_subsample = percentile_subsample
+        self.tile_batch = max(1, int(tile_batch))
+        self._pending: dict[int, list] = {}
         self._pool = ThreadPoolExecutor(max_workers=n_post_threads)
         self._futures = []
         self.n_tiles = 0
@@ -173,6 +176,13 @@ class DeviceWorker:
             canvas[: tile.shape[0], : tile.shape[1]] = tile
             tile = canvas
         self.n_tiles += 1
+        if self.tile_batch > 1:
+            self._pending.setdefault(b, []).append(
+                (tile, coords, out_size)
+            )
+            if len(self._pending[b]) >= self.tile_batch:
+                self._flush_bucket(b)
+            return
         model = self.models[self._rr % len(self.models)]
         self._rr += 1
         if self._infer_pool is not None:
@@ -186,16 +196,71 @@ class DeviceWorker:
                 self._run_one(model, tile, coords, out_size)
             )
 
+    def _flush_bucket(self, b: int):
+        items = self._pending.pop(b, [])
+        if not items:
+            return
+        model = self.models[self._rr % len(self.models)]
+        self._rr += 1
+        if self._infer_pool is not None:
+            self._futures.append(
+                self._infer_pool.submit(self._run_batch, model, items)
+            )
+        else:
+            self._futures.append(self._run_batch(model, items))
+
+    def _run_batch(self, model, items):
+        """Batched device program for a bucket of same-sized tiles
+        (ClassposeModel.eval_batch); returns a list of post-proc futures."""
+        t0 = time.time()
+        tiles = np.stack([t for t, _, _ in items])
+        results = model.eval_batch(
+            tiles,
+            batch_size=self.batch_size,
+            niter=self.niter,
+            flow_threshold=self.flow_threshold,
+            cellprob_threshold=self.cellprob_threshold,
+            min_size=self.min_size,
+            qc_downsample=self.qc_downsample,
+            percentile_subsample=self.percentile_subsample,
+        )
+        self.infer_seconds += time.time() - t0
+        futs = []
+        for (tile, coords, out_size), (masks, cm) in zip(items, results):
+            futs.append(
+                self._pool.submit(
+                    process_tile,
+                    masks[:out_size, :out_size],
+                    cm[:out_size, :out_size] if self.labels is not None
+                    else None,
+                    (float(coords[0]), float(coords[1])),
+                    self.scale,
+                    self.labels,
+                )
+            )
+        return futs
+
     def collect(self) -> list[dict]:
+        for b in list(self._pending):
+            self._flush_bucket(b)  # drain partial batches
         cells = []
-        for fut in self._futures:
-            res = fut.result()
-            # multi-device path returns a nested future from the post pool
+
+        def consume(res):
+            # items may be a (cells, n_invalid) pair, a future of one, a
+            # list of futures (batched path), or a future of such a list
+            if isinstance(res, list):
+                for r in res:
+                    consume(r)
+                return
             if hasattr(res, "result"):
-                res = res.result()
+                consume(res.result())
+                return
             c, inv = res
             cells.extend(c)
             self.n_invalid += inv
+
+        for fut in self._futures:
+            consume(fut)
         if self._infer_pool is not None:
             self._infer_pool.shutdown(wait=True)
         self._pool.shutdown(wait=True)
@@ -316,6 +381,7 @@ def main(args, model_override=None) -> dict:
         n_post_threads=getattr(args, "inference_threads", None) or 4,
         qc_downsample=2 if getattr(args, "fast_qc", False) else 1,
         percentile_subsample=2 if getattr(args, "fast_qc", False) else 1,
+        tile_batch=getattr(args, "tile_batch", 1) or 1,
     )
     if len(devices) > 1:
         logger.info("Tile-parallel inference over %d devices", len(devices))

@@ -403,3 +403,147 @@ class ClassposeModel:
             class_masks,
             styles,
         )
+
+    # ------------------------------------------------------------ batched API
+
+    def eval_batch(
+        self,
+        tiles: np.ndarray,
+        batch_size: int = 8,
+        niter: int = 200,
+        flow_threshold: float = 0.4,
+        cellprob_threshold: float = 0.0,
+        min_size: int = 15,
+        max_size_fraction: float = 0.4,
+        qc_downsample: int = 1,
+        percentile_subsample: int = 1,
+    ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Segment a batch of same-sized tiles in ONE device program for
+        everything up to host-side relabeling.
+
+        The per-tile :meth:`eval` round-trips the host several times per
+        tile (normalize → forward → resample → dynamics); at production
+        throughput those dispatches dominate. This path vmaps
+        normalization, the tiled forward, Euler integration, and seed
+        clustering over the batch, so the device sees one program per
+        batch and the host does only per-tile relabel/QC/majority-vote.
+
+        Args: tiles (B, S, S, 3) float32 at model MPP. Returns a list of
+        (masks, class_masks) int32 arrays.
+        """
+        tiles = np.ascontiguousarray(tiles, np.float32)
+        B, S = tiles.shape[0], tiles.shape[1]
+        key = ("batched", B, S, batch_size, niter, percentile_subsample,
+               cellprob_threshold)
+        if key not in self._runners:
+            self._runners[key] = self._build_batched(
+                B, S, batch_size, niter, percentile_subsample,
+                cellprob_threshold,
+            )
+        y_class, p, iscell, dP = self._runners[key](jnp.asarray(tiles))
+
+        # host per tile: cluster-id relabel, QC, size filters, class vote
+        from classpose_tpu.dynamics.masks import (
+            fill_holes_and_remove_small_masks,
+            flow_errors,
+            get_masks_from_positions,
+        )
+
+        raw = np.asarray(
+            jax.vmap(get_masks_from_positions)(p, iscell)
+        )
+        dP_np = np.asarray(dP)
+        y_class_np = np.asarray(y_class) if self.nclasses > 1 else None
+        out = []
+        for i in range(B):
+            ids, rem = np.unique(raw[i], return_inverse=True)
+            masks = rem.reshape(raw[i].shape).astype(np.int32)
+            if ids[0] != 0:
+                masks += 1
+            nmax = int(masks.max())
+            if nmax:
+                counts = np.bincount(masks.ravel(), minlength=nmax + 1)
+                too_big = counts > max_size_fraction * S * S
+                too_big[0] = False
+                if too_big.any():
+                    masks[too_big[masks]] = 0
+                if flow_threshold and flow_threshold > 0 and masks.max():
+                    d = max(1, qc_downsample)
+                    errs = flow_errors(
+                        masks[::d, ::d], dP_np[i][:, ::d, ::d],
+                        max_id=nmax,
+                    )
+                    bad = errs > flow_threshold
+                    bad[0] = False
+                    if bad.any():
+                        masks[bad[masks]] = 0
+                masks = fill_holes_and_remove_small_masks(
+                    masks, min_size=min_size
+                )
+            if self.nclasses > 1 and masks.max():
+                cm, _ = compute_class_masks(masks, y_class_np[i])
+            else:
+                cm = np.zeros_like(masks)
+            out.append((masks, cm))
+        return out
+
+    def _build_batched(self, B, S, batch_size, niter, percentile_subsample,
+                       cellprob_threshold=0.0):
+        from classpose_tpu.dynamics.masks import follow_flows
+        from classpose_tpu.ops.normalize import normalize_img
+        from classpose_tpu.ops.tiles import (
+            average_tiles,
+            compute_tile_grid,
+            get_pad_yx,
+            make_tiles,
+        )
+
+        bsize = self.cfg.bsize
+        ncls = self.nclasses
+        ypad1, ypad2, xpad1, xpad2 = get_pad_yx(S, S, (bsize, bsize))
+        grid = compute_tile_grid(
+            S + ypad1 + ypad2, S + xpad1 + xpad2, bsize, 0.1, False
+        )
+        nt = grid.ntiles
+        bs = min(batch_size, nt)
+        nchunk = int(np.ceil(nt / bs))
+        pad_tiles = nchunk * bs - nt
+
+        def per_tile(img_hwc):
+            img = normalize_img(
+                img_hwc, axis=-1,
+                percentile_subsample=percentile_subsample,
+            )
+            chw = jnp.transpose(img, (2, 0, 1))
+            chw = jnp.pad(chw, ((0, 0), (ypad1, ypad2), (xpad1, xpad2)))
+            t = make_tiles(chw, grid)
+            if pad_tiles:
+                t = jnp.concatenate(
+                    [t, jnp.zeros((pad_tiles,) + t.shape[1:], t.dtype)]
+                )
+            chunks = t.reshape((nchunk, bs) + t.shape[1:])
+
+            def fwd(chunk):
+                y, _ = self._apply(chunk)
+                return y
+
+            y = jax.lax.map(fwd, chunks)
+            y = y.reshape((nchunk * bs,) + y.shape[2:])[:nt]
+            if ncls > 1:
+                y_class, y_seg = y[:, :ncls], y[:, ncls:]
+                ycf = average_tiles(y_class, grid)[
+                    :, ypad1 : ypad1 + S, xpad1 : xpad1 + S
+                ]
+            else:
+                y_seg = y
+                ycf = jnp.zeros((1, S, S), jnp.float32)
+            yf = average_tiles(y_seg, grid)[
+                :, ypad1 : ypad1 + S, xpad1 : xpad1 + S
+            ]
+            dP = yf[:2]
+            cellprob = yf[2]
+            iscell = cellprob > cellprob_threshold
+            p = follow_flows(dP, iscell, niter=niter)
+            return ycf, p, iscell, dP
+
+        return jax.jit(jax.vmap(per_tile))

@@ -37,7 +37,6 @@ from classpose_tpu.pipeline.outputs import (
     filter_cells_by_tree,
     load_roi_polygons,
     map_cells_to_roi_classes,
-    polygon_to_geojson_feature,
     polygons_to_centroids,
     to_geojson_polygon,
     write_feature_collection,
@@ -176,7 +175,8 @@ class DeviceWorker:
             canvas[: tile.shape[0], : tile.shape[1]] = tile
             tile = canvas
         self.n_tiles += 1
-        if self.tile_batch > 1:
+        # eval_batch has no TTA path — with --tta, fall back to per-tile
+        if self.tile_batch > 1 and not self.augment:
             self._pending.setdefault(b, []).append(
                 (tile, coords, out_size)
             )

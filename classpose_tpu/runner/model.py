@@ -442,10 +442,18 @@ class ClassposeModel:
             )
         y_class, p, iscell, dP = self._runners[key](jnp.asarray(tiles))
 
-        # host per tile: cluster-id relabel, QC, size filters, class vote
+        # host per tile: cluster-id relabel + size filter; then ONE batched
+        # device program recomputes the QC flows for every tile (shared
+        # extent-derived niter bucket), and the host finishes with
+        # per-instance error bincounts, hole filling and the class vote
+        from classpose_tpu.dynamics.flows import (
+            _bucket,
+            _diffuse_and_grad,
+            _max_instance_extent,
+            instance_center_map,
+        )
         from classpose_tpu.dynamics.masks import (
             fill_holes_and_remove_small_masks,
-            flow_errors,
             get_masks_from_positions,
         )
 
@@ -454,7 +462,8 @@ class ClassposeModel:
         )
         dP_np = np.asarray(dP)
         y_class_np = np.asarray(y_class) if self.nclasses > 1 else None
-        out = []
+
+        masks_list = []
         for i in range(B):
             ids, rem = np.unique(raw[i], return_inverse=True)
             masks = rem.reshape(raw[i].shape).astype(np.int32)
@@ -467,16 +476,47 @@ class ClassposeModel:
                 too_big[0] = False
                 if too_big.any():
                     masks[too_big[masks]] = 0
-                if flow_threshold and flow_threshold > 0 and masks.max():
-                    d = max(1, qc_downsample)
-                    errs = flow_errors(
-                        masks[::d, ::d], dP_np[i][:, ::d, ::d],
-                        max_id=nmax,
-                    )
-                    bad = errs > flow_threshold
-                    bad[0] = False
-                    if bad.any():
-                        masks[bad[masks]] = 0
+            masks_list.append(masks)
+
+        if flow_threshold and flow_threshold > 0:
+            d = max(1, qc_downsample)
+            ms = np.stack([m[::d, ::d] for m in masks_list])
+            extents = [
+                _max_instance_extent(m) for m in ms
+            ]
+            niter_qc = _bucket(
+                min(max(2 * max(extents, default=1), 40), 400), 40
+            )
+            cms = np.stack([instance_center_map(m) for m in ms])
+            mu = np.asarray(
+                jax.vmap(lambda a, b: _diffuse_and_grad(a, b, niter_qc))(
+                    jnp.asarray(ms), jnp.asarray(cms)
+                )
+            )
+            dP_ds = dP_np[:, :, ::d, ::d]
+            for i in range(B):
+                masks = masks_list[i]
+                nmax = int(masks.max())
+                if nmax == 0:
+                    continue
+                err_map = ((mu[i] - dP_ds[i] / 5.0) ** 2).sum(axis=0)
+                ids_ds = ms[i].ravel().astype(np.int64)
+                fg = ids_ds > 0
+                n = np.bincount(ids_ds[fg], minlength=nmax + 1)
+                ssum = np.bincount(
+                    ids_ds[fg], weights=err_map.ravel()[fg],
+                    minlength=nmax + 1,
+                )
+                errs = (ssum / np.maximum(n, 1)).astype(np.float32)
+                bad = errs > flow_threshold
+                bad[0] = False
+                if bad.any():
+                    masks[bad[masks]] = 0
+
+        out = []
+        for i in range(B):
+            masks = masks_list[i]
+            if masks.max():
                 masks = fill_holes_and_remove_small_masks(
                     masks, min_size=min_size
                 )

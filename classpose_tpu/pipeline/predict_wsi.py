@@ -175,8 +175,7 @@ class DeviceWorker:
             canvas[: tile.shape[0], : tile.shape[1]] = tile
             tile = canvas
         self.n_tiles += 1
-        # eval_batch has no TTA path — with --tta, fall back to per-tile
-        if self.tile_batch > 1 and not self.augment:
+        if self.tile_batch > 1:
             self._pending.setdefault(b, []).append(
                 (tile, coords, out_size)
             )
@@ -217,6 +216,7 @@ class DeviceWorker:
         results = model.eval_batch(
             tiles,
             batch_size=self.batch_size,
+            augment=self.augment,
             niter=self.niter,
             flow_threshold=self.flow_threshold,
             cellprob_threshold=self.cellprob_threshold,

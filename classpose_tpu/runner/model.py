@@ -410,6 +410,7 @@ class ClassposeModel:
         self,
         tiles: np.ndarray,
         batch_size: int = 8,
+        augment: bool = False,
         niter: int = 200,
         flow_threshold: float = 0.4,
         cellprob_threshold: float = 0.0,
@@ -434,11 +435,11 @@ class ClassposeModel:
         tiles = np.ascontiguousarray(tiles, np.float32)
         B, S = tiles.shape[0], tiles.shape[1]
         key = ("batched", B, S, batch_size, niter, percentile_subsample,
-               cellprob_threshold)
+               cellprob_threshold, augment)
         if key not in self._runners:
             self._runners[key] = self._build_batched(
                 B, S, batch_size, niter, percentile_subsample,
-                cellprob_threshold,
+                cellprob_threshold, augment,
             )
         y_class, p, iscell, dP = self._runners[key](jnp.asarray(tiles))
 
@@ -528,7 +529,7 @@ class ClassposeModel:
         return out
 
     def _build_batched(self, B, S, batch_size, niter, percentile_subsample,
-                       cellprob_threshold=0.0):
+                       cellprob_threshold=0.0, augment=False):
         from classpose_tpu.dynamics.masks import follow_flows
         from classpose_tpu.ops.normalize import normalize_img
         from classpose_tpu.ops.tiles import (
@@ -536,13 +537,15 @@ class ClassposeModel:
             compute_tile_grid,
             get_pad_yx,
             make_tiles,
+            unaugment_class_tiles,
+            unaugment_tiles,
         )
 
         bsize = self.cfg.bsize
         ncls = self.nclasses
         ypad1, ypad2, xpad1, xpad2 = get_pad_yx(S, S, (bsize, bsize))
         grid = compute_tile_grid(
-            S + ypad1 + ypad2, S + xpad1 + xpad2, bsize, 0.1, False
+            S + ypad1 + ypad2, S + xpad1 + xpad2, bsize, 0.1, augment
         )
         nt = grid.ntiles
         bs = min(batch_size, nt)
@@ -571,12 +574,16 @@ class ClassposeModel:
             y = y.reshape((nchunk * bs,) + y.shape[2:])[:nt]
             if ncls > 1:
                 y_class, y_seg = y[:, :ncls], y[:, ncls:]
+                if augment:
+                    y_class = unaugment_class_tiles(y_class, grid)
                 ycf = average_tiles(y_class, grid)[
                     :, ypad1 : ypad1 + S, xpad1 : xpad1 + S
                 ]
             else:
                 y_seg = y
                 ycf = jnp.zeros((1, S, S), jnp.float32)
+            if augment:
+                y_seg = unaugment_tiles(y_seg, grid)
             yf = average_tiles(y_seg, grid)[
                 :, ypad1 : ypad1 + S, xpad1 : xpad1 + S
             ]

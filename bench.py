@@ -17,8 +17,6 @@ the target rate.
 Prints ONE JSON line.
 """
 
-from __future__ import annotations
-
 import json
 import time
 

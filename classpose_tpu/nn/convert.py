@@ -19,8 +19,6 @@ reference model_configs.py:23-109) are torch state dicts for
 
 from __future__ import annotations
 
-from pathlib import Path
-
 import numpy as np
 
 from classpose_tpu.log import get_logger

@@ -17,14 +17,11 @@ the tile count to a multiple of the batch size and scans over chunks with
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from classpose_tpu.ops.tiles import (
-    TileGrid,
     average_tiles,
     compute_tile_grid,
     get_pad_yx,

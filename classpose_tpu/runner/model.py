@@ -14,7 +14,6 @@ fallback logic at models.py:37-69 exists for the inverse reason on CUDA).
 from __future__ import annotations
 
 import time
-from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -102,8 +101,6 @@ def compute_class_masks(
 def dx_to_circ(dP: np.ndarray) -> np.ndarray:
     """Flow field → HSV-style RGB visualization (cellpose ``plot.dx_to_circ``
     used in the eval return tuple, models.py:824)."""
-    import colorsys
-
     dP = np.asarray(dP, np.float32)
     mag = np.clip(np.sqrt(np.sum(dP**2, axis=0)), 0, 1e6)
     mag = mag / (mag.max() + 1e-12)

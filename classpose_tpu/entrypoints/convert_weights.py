@@ -3,12 +3,12 @@
 Converts the published torch weights offline so inference hosts don't need
 torch installed:
 
-- ClassTransformer checkpoints (cpsam + the six classpose configs):
-  auto-detects the class-head structure and class count
-  (reference predict_wsi.py:1377-1419) and embeds the architecture meta;
+- ClassTransformer checkpoints (cpsam + the six classpose configs): the
+  full architecture is inferred from tensor shapes and embedded as meta;
 - GrandQC smp UnetPlusPlus checkpoints (``--kind grandqc``): grafts the
   timm efficientnet-b0 encoder 1:1 (decoder fine-tune required — see
-  classpose_tpu.grandqc.convert).
+  classpose_tpu.grandqc.convert); the class count is read from the
+  checkpoint's segmentation head.
 """
 
 from __future__ import annotations
@@ -21,58 +21,37 @@ logger = get_logger(__name__)
 
 
 def main(args):
-    import numpy as np
-
     from classpose_tpu.nn.convert import (
         _torch_load,
         convert_state_dict,
-        infer_structure,
+        infer_config_from_state_dict,
         save_params,
     )
 
+    sd = _torch_load(args.input)
     if args.kind == "classpose":
-        structure, n_classes = infer_structure(args.input)
-        logger.info(
-            "structure=%s n_classes=%d", structure, n_classes
-        )
-        sd = _torch_load(args.input)
         params = convert_state_dict(sd)
-        from classpose_tpu.nn import ClassTransformerConfig
-
-        # infer the architecture from tensor shapes, not defaults
-        pe = sd["encoder.patch_embed.proj.weight"]  # (E, 3, ps, ps)
-        embed_dim, ps = int(pe.shape[0]), int(pe.shape[2])
-        thw = int(sd["encoder.pos_embed"].shape[1])
-        head_dim = int(sd["encoder.blocks.0.attn.rel_pos_h"].shape[1])
-        depth = 0
-        while f"encoder.blocks.{depth}.norm1.weight" in sd:
-            depth += 1
-        neck_dim = int(sd["encoder.neck.0.weight"].shape[0])
-        cfg = ClassTransformerConfig(
-            ps=ps,
-            bsize=thw * ps,
-            embed_dim=embed_dim,
-            depth=depth,
-            num_heads=max(1, embed_dim // head_dim),
-            neck_dim=neck_dim,
-            n_cell_classes=max(n_classes, 1),
-            feature_transformation_structure=(
-                tuple(structure) if structure else None
-            ),
-        )
+        cfg = infer_config_from_state_dict(sd)
         logger.info("inferred config: %s", cfg)
         save_params(params, args.output, cfg)
     else:  # grandqc
         from classpose_tpu.grandqc.convert import convert_grandqc_checkpoint
         from classpose_tpu.grandqc.nets import UnetPlusPlusConfig
-        from classpose_tpu.nn.convert import _torch_load as _tl
-        from classpose_tpu.nn.convert import save_params as _sp
 
-        sd = _tl(args.input)
-        params, frac = convert_grandqc_checkpoint(
-            sd, classes=args.classes, strict=args.strict
+        head_key = next(
+            (k for k in sd if k.startswith("segmentation_head")
+             and k.endswith("weight")),
+            None,
         )
-        _sp(params, args.output, UnetPlusPlusConfig(classes=args.classes))
+        classes = (
+            int(sd[head_key].shape[0]) if head_key is not None
+            else args.classes
+        )
+        logger.info("segmentation classes: %d", classes)
+        params, frac = convert_grandqc_checkpoint(
+            sd, classes=classes, strict=args.strict
+        )
+        save_params(params, args.output, UnetPlusPlusConfig(classes=classes))
         logger.info("grafted fraction: %.2f", frac)
     logger.info("wrote %s", args.output)
 
@@ -86,7 +65,8 @@ def main_with_args(argv=None):
     p.add_argument("--kind", choices=["classpose", "grandqc"],
                    default="classpose")
     p.add_argument("--classes", type=int, default=2,
-                   help="segmentation classes (grandqc)")
+                   help="segmentation classes fallback when the grandqc "
+                   "checkpoint has no segmentation_head tensor")
     p.add_argument("--strict", action="store_true", default=False)
     main(p.parse_args(argv))
 

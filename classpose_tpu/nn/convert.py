@@ -134,6 +134,41 @@ def infer_structure(path: str) -> tuple[list[int] | None, int]:
     return structure, n_classes
 
 
+def infer_config_from_state_dict(sd: dict):
+    """Infer the full ClassTransformerConfig from a torch ClassTransformer
+    state dict's tensor shapes (patch size, bsize, depth, heads, neck
+    width, class-head structure) — used to make converted checkpoints
+    self-describing."""
+    from classpose_tpu.nn import ClassTransformerConfig
+
+    pe = sd["encoder.patch_embed.proj.weight"]  # (E, 3, ps, ps)
+    embed_dim, ps = int(pe.shape[0]), int(pe.shape[2])
+    thw = int(sd["encoder.pos_embed"].shape[1])
+    head_dim = int(sd["encoder.blocks.0.attn.rel_pos_h"].shape[1])
+    depth = 0
+    while f"encoder.blocks.{depth}.norm1.weight" in sd:
+        depth += 1
+    neck_dim = int(sd["encoder.neck.0.weight"].shape[0])
+    n_classes = int(sd["W3"].shape[1]) if "W3" in sd else 1
+    unet = any(k.startswith("out_class.encoder_blocks") for k in sd)
+    structure = (
+        _unet_structure_from_keys(list(sd), ".", lambda k: sd[k])
+        if unet else None
+    )
+    return ClassTransformerConfig(
+        ps=ps,
+        bsize=thw * ps,
+        embed_dim=embed_dim,
+        depth=depth,
+        num_heads=max(1, embed_dim // head_dim),
+        neck_dim=neck_dim,
+        n_cell_classes=max(n_classes, 1),
+        feature_transformation_structure=(
+            tuple(structure) if structure else None
+        ),
+    )
+
+
 def _unet_structure_from_keys(keys, sep, zingetter) -> list[int]:
     """Recover the UNet n_channels ladder from encoder conv shapes."""
     chans = []

@@ -98,6 +98,11 @@ def build_parser() -> argparse.ArgumentParser:
         "forward and Euler integration; amortizes dispatch overhead).",
     )
     parser.add_argument(
+        "--filter_background_tiles", action="store_true", default=False,
+        help="Skip tiles failing the grey-histogram/blur/HED relevance "
+        "heuristic (useful without a tissue detection model).",
+    )
+    parser.add_argument(
         "--fast_qc", action="store_true", default=False,
         help="Throughput approximations: half-resolution flow-QC and "
         "strided percentile stats (changes results for thin/small "

@@ -393,9 +393,15 @@ def main(args, model_override=None) -> dict:
         jax.profiler.start_trace(str(profile_dir))
         logger.info("jax profiler trace → %s", profile_dir)
 
+    tile_filter = None
+    if getattr(args, "filter_background_tiles", False):
+        from classpose_tpu.pipeline.tile_filter import filter_tile
+
+        tile_filter = filter_tile
+
     n_streamed = 0
     t_stream0 = time.time()
-    for tile, coords, out_size in loader.stream():
+    for tile, coords, out_size in loader.stream(tile_filter=tile_filter):
         worker.submit(tile, coords, out_size)
         n_streamed += 1
         if n_streamed % 50 == 0:

@@ -114,3 +114,34 @@ def test_normalize_constant_channel_stable():
     img = np.full((32, 32, 3), 7.0, np.float32)
     out = np.asarray(normalize_img(jnp.asarray(img)))
     assert np.isfinite(out).all()
+
+
+def test_tile_normalize_path():
+    rng = np.random.default_rng(5)
+    # left half dark, right half bright — blockwise norm should brighten
+    # the dark half relative to global norm
+    img = np.concatenate(
+        [rng.uniform(0, 50, (64, 32, 3)), rng.uniform(150, 255, (64, 32, 3))],
+        axis=1,
+    ).astype(np.float32)
+    out = np.asarray(
+        normalize_img(jnp.asarray(img), axis=-1, tile_norm_blocksize=32)
+    )
+    assert np.isfinite(out).all()
+    # blockwise norm must pull the halves closer together than global norm
+    global_out = np.asarray(normalize_img(jnp.asarray(img), axis=-1))
+    gap_block = abs(out[:, :32].mean() - out[:, 32:].mean())
+    gap_global = abs(
+        global_out[:, :32].mean() - global_out[:, 32:].mean()
+    )
+    assert gap_block < gap_global
+
+
+def test_percentile_subsample_close_to_exact():
+    rng = np.random.default_rng(6)
+    img = rng.uniform(0, 255, (256, 256, 3)).astype(np.float32)
+    exact = np.asarray(normalize_img(jnp.asarray(img), axis=-1))
+    approx = np.asarray(
+        normalize_img(jnp.asarray(img), axis=-1, percentile_subsample=2)
+    )
+    assert np.abs(exact - approx).max() < 0.02

@@ -82,3 +82,20 @@ def test_stardist_pipeline_and_configs():
     aug2 = StarDistAugmentation("hed_only", seed=0)
     out2 = aug2.transform(img)
     assert not np.allclose(out2, img)
+
+
+def test_hed_rgb_roundtrip():
+    from classpose_tpu.pipeline.tile_filter import hed2rgb, rgb2hed
+
+    img = he_like_image(chw=False) / 255.0
+    back = hed2rgb(rgb2hed(img))
+    assert np.abs(back - img).max() < 0.02
+
+
+def test_filter_tile_heuristic():
+    from classpose_tpu.pipeline.tile_filter import filter_tile
+
+    white = np.full((128, 128, 3), 250.0, np.float32)
+    assert filter_tile(white) is False
+    tissue = he_like_image(chw=False)
+    assert filter_tile(tissue) is True

@@ -76,6 +76,11 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["csv", "spatialdata"])
     parser.add_argument("--inference_threads", type=int, default=None)
     parser.add_argument("--mpp", type=float, default=None)
+    parser.add_argument("--tile_batch", type=int, default=1)
+    parser.add_argument("--fast_qc", action="store_true", default=False)
+    parser.add_argument("--filter_background_tiles", action="store_true",
+                        default=False)
+    parser.add_argument("--profile", type=str, default=None)
     parser.add_argument("--roi_class_priority", type=str, default=None,
                         nargs="+")
     return parser

@@ -129,3 +129,53 @@ def test_prefetcher_propagates_errors():
     pf = DevicePrefetcher(bad(), depth=2)
     with pytest.raises(RuntimeError, match="decode failed"):
         list(pf)
+
+
+def _write_minimal_bigtiff(path, img):
+    """Hand-craft a little-endian BigTIFF with one uncompressed strip."""
+    import struct
+
+    H, W, _ = img.shape
+    data = img.tobytes()
+    header = struct.pack("<2sHHHQ", b"II", 43, 8, 0, 16)
+    # IFD at offset 16
+    entries = []
+
+    def entry(tag, type_, count, value):
+        return struct.pack("<HHQQ", tag, type_, count, value)
+
+    data_offset = 16 + 8 + 11 * 20 + 8  # after IFD
+    bps_offset = data_offset + len(data)
+    entries.append(entry(256, 4, 1, W))            # ImageWidth
+    entries.append(entry(257, 4, 1, H))            # ImageLength
+    entries.append(entry(258, 3, 3, 0))            # BitsPerSample → offset
+    entries.append(entry(259, 3, 1, 1))            # Compression none
+    entries.append(entry(262, 3, 1, 2))            # Photometric RGB
+    entries.append(entry(273, 16, 1, data_offset))  # StripOffsets
+    entries.append(entry(277, 3, 1, 3))            # SamplesPerPixel
+    entries.append(entry(278, 4, 1, H))            # RowsPerStrip
+    entries.append(entry(279, 16, 1, len(data)))   # StripByteCounts
+    entries.append(entry(282, 3, 1, 72))           # XResolution (short ok)
+    entries.append(entry(296, 3, 1, 2))            # ResolutionUnit inch
+    # patch BitsPerSample offset entry now that bps_offset is known
+    entries[2] = entry(258, 3, 3, bps_offset)
+    ifd = struct.pack("<Q", len(entries)) + b"".join(entries) + \
+        struct.pack("<Q", 0)
+    with open(path, "wb") as f:
+        f.write(header)
+        f.write(ifd)
+        assert f.tell() == data_offset, (f.tell(), data_offset)
+        f.write(data)
+        f.write(struct.pack("<HHH", 8, 8, 8))
+
+
+def test_bigtiff_reader(tmp_path):
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 255, (60, 80, 3), dtype=np.uint8).astype(np.uint8)
+    path = str(tmp_path / "big.tif")
+    _write_minimal_bigtiff(path, img)
+    s = TiffSlide(path)
+    assert s.dimensions == (80, 60)
+    r = np.asarray(s.read_region((10, 5), 0, (32, 16)))[..., :3]
+    np.testing.assert_array_equal(r, img[5:21, 10:42])
+    s.close()

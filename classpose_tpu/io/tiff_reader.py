@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import io
 import struct
+import threading
 import zlib
 from functools import lru_cache
 
@@ -59,6 +60,9 @@ class TiffSlide:
     def __init__(self, path: str, tile_cache: int = 256):
         self._path = path
         self._fh = open(path, "rb")
+        # read_region is called from concurrent reader threads; raw
+        # seek+read on the shared handle must be serialized
+        self._io_lock = threading.Lock()
         self._parse_header()
         self._pages = self._parse_pages()
         if not self._pages:
@@ -243,8 +247,9 @@ class TiffSlide:
             if tile_idx < len(p.counts)
             else None
         )
-        self._fh.seek(offset)
-        data = self._fh.read(count)
+        with self._io_lock:
+            self._fh.seek(offset)
+            data = self._fh.read(count)
         th, tw = p.tile_height, p.tile_width
         if not p.tiled:
             # last strip may be short

@@ -39,9 +39,20 @@ def _attn_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, scale,
         preferred_element_type=jnp.float32,
     ) * scale  # (L, L)
 
-    bias_h = pltpu.repeat(rh, grid_w, axis=1)  # [i, j] = rh[i, j // W]
+    # key j ↔ 2D (h_j, w_j) = (j // W, j % W):
+    #   bias_h[i, j] = rh[i, j // W] — an elementwise column repeat, which
+    #   Mosaic can't reshape/jnp.repeat into; build it as a tiny one-hot
+    #   expansion matmul rh @ E with E[h, j] = (j // W == h) (MXU-cheap:
+    #   (L,H)x(H,L), ~25% of the qk matmul's FLOPs).
+    #   bias_w[i, j] = rw[i, j % W] — whole-block tiling, which IS
+    #   pltpu.repeat's semantics (its impl concatenates copies).
     L, W = rw.shape
-    bias_w = jnp.concatenate([rw] * (L // W), axis=1)  # [i, j] = rw[i, j % W]
+    Hh = rh.shape[1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (Hh, L), 0)
+    cols_h = jax.lax.broadcasted_iota(jnp.int32, (Hh, L), 1) // W
+    expand = (rows == cols_h).astype(jnp.float32)
+    bias_h = jax.lax.dot(rh, expand, preferred_element_type=jnp.float32)
+    bias_w = pltpu.repeat(rw, L // W, axis=1)
     s = s + bias_h + bias_w
 
     m = jnp.max(s, axis=1, keepdims=True)
@@ -52,7 +63,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, scale,
     o_ref[0] = o.astype(o_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("scale", "grid_hw"))
+@partial(jax.jit, static_argnames=("scale", "grid_hw", "interpret"))
 def flash_attention_relpos(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -61,6 +72,7 @@ def flash_attention_relpos(
     rel_w: jnp.ndarray,
     scale: float,
     grid_hw: tuple[int, int] = (32, 32),
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Attention with decomposed rel-pos bias, VMEM-resident per (b, head).
 
@@ -96,6 +108,7 @@ def flash_attention_relpos(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
+        interpret=interpret,
     )(flat(q), flat(k), flat(v), flat(rel_h), flat(rel_w))
     return out.reshape(B, n, L, hd)
 

@@ -171,9 +171,14 @@ class DeviceWorker:
         """Run inference for one tile and queue host post-processing."""
         b = _bucket_size(max(tile.shape[:2]))
         if tile.shape[0] != b or tile.shape[1] != b:
-            canvas = np.zeros((b, b, 3), tile.dtype)
-            canvas[: tile.shape[0], : tile.shape[1]] = tile
-            tile = canvas
+            # edge-replicate to the bucket size: zero padding would skew
+            # the percentile normalization computed over the canvas (the
+            # pad region is cropped from the masks afterwards)
+            tile = np.pad(
+                tile,
+                ((0, b - tile.shape[0]), (0, b - tile.shape[1]), (0, 0)),
+                mode="edge",
+            )
         self.n_tiles += 1
         if self.tile_batch > 1:
             self._pending.setdefault(b, []).append(

@@ -210,21 +210,25 @@ class SlideLoader:
                         break
                     k = state["i"]
                     state["i"] += 1
-                (x, y), tsize = coords_list[k]
-                region = self.slide.read_region(
-                    (int(x), int(y)), self.level, (tsize, tsize)
-                )
-                tile = np.asarray(region)[..., :3]
-                out_size = int(round(tsize * self.resize_factor))
-                if tile.shape[0] != out_size:
-                    tile = cv2.resize(
-                        tile, (out_size, out_size),
-                        interpolation=cv2.INTER_LINEAR,
+                try:
+                    (x, y), tsize = coords_list[k]
+                    region = self.slide.read_region(
+                        (int(x), int(y)), self.level, (tsize, tsize)
                     )
-                if tile_filter is not None and not tile_filter(tile):
-                    q.put(None)
-                    continue
-                q.put((tile, (x, y), out_size))
+                    tile = np.asarray(region)[..., :3]
+                    out_size = int(round(tsize * self.resize_factor))
+                    if tile.shape[0] != out_size:
+                        tile = cv2.resize(
+                            tile, (out_size, out_size),
+                            interpolation=cv2.INTER_LINEAR,
+                        )
+                    if tile_filter is not None and not tile_filter(tile):
+                        q.put(None)
+                        continue
+                    q.put((tile, (x, y), out_size))
+                except BaseException as e:
+                    # propagate: a dead reader must not hang the pipeline
+                    q.put(("__error__", e))
 
         threads = [
             threading.Thread(target=work, daemon=True)
@@ -234,8 +238,14 @@ class SlideLoader:
             t.start()
         for _ in range(len(coords_list)):
             item = q.get()
-            if item is not None:
-                yield item
+            if item is None:
+                continue
+            if isinstance(item, tuple) and len(item) == 2 and \
+                    item[0] == "__error__":
+                raise RuntimeError(
+                    "slide reader thread failed"
+                ) from item[1]
+            yield item
 
     def close(self):
         if self.slide is not None:

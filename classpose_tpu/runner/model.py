@@ -126,7 +126,10 @@ def dx_to_circ(dP: np.ndarray) -> np.ndarray:
 
 
 def _resize_chw(arr: np.ndarray, Ly: int, Lx: int, nearest=False) -> np.ndarray:
-    """Resize (C, H, W) or (H, W) arrays with jax.image (device-side)."""
+    """Resize (C, H, W) or (H, W) arrays with jax.image (device-side);
+    no-op when the spatial shape already matches."""
+    if np.asarray(arr).shape[-2:] == (Ly, Lx):
+        return np.asarray(arr)
     a = jnp.asarray(arr)
     method = "nearest" if nearest else "linear"
     if a.ndim == 2:
@@ -374,13 +377,18 @@ class ClassposeModel:
                 qc_downsample=qc_downsample,
                 device=dev,
             )
-            if not resample and masks.shape != (Ly0, Lx0):
-                masks = _resize_chw(masks.astype(np.int32), Ly0, Lx0,
-                                    nearest=True)
+            # majority vote at the resolution masks were computed at
+            # (y_class matches dP resolution), THEN resize label maps
             if self.nclasses > 1:
                 class_masks, _ = compute_class_masks(masks, y_class)
             else:
                 class_masks = np.zeros_like(masks)
+            if not resample and masks.shape != (Ly0, Lx0):
+                masks = _resize_chw(masks.astype(np.int32), Ly0, Lx0,
+                                    nearest=True)
+                class_masks = _resize_chw(
+                    class_masks.astype(np.int32), Ly0, Lx0, nearest=True
+                )
         else:
             masks = np.zeros(0)
             class_masks = np.zeros(0)

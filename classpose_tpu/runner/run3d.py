@@ -84,12 +84,19 @@ def stitch3D(masks: np.ndarray, stitch_threshold: float = 0.25) -> np.ndarray:
     (cellpose utils.stitch3D semantics)."""
     masks = np.asarray(masks).copy()
     mmax = int(masks[0].max())
-    empty = False
     for i in range(len(masks) - 1):
         iou = pairwise_iou_matrix(masks[i], masks[i + 1])
-        if iou.size == 0 or empty:
-            mmax = max(mmax, int(masks[i + 1].max()))
-            empty = iou.size == 0
+        if iou.size == 0:
+            # one of the planes has no instances: give the next plane
+            # fresh global ids (no stitching possible)
+            nxt = masks[i + 1]
+            ids_next = np.unique(nxt)
+            ids_next = ids_next[ids_next > 0]
+            lookup = np.zeros(int(nxt.max()) + 1, masks.dtype)
+            for gid in ids_next:
+                mmax += 1
+                lookup[gid] = mmax
+            masks[i + 1] = lookup[nxt]
             continue
         # for each next-plane instance, its best current-plane match
         iou = np.where(iou >= stitch_threshold, iou, 0.0)
@@ -116,7 +123,7 @@ def stitch3D(masks: np.ndarray, stitch_threshold: float = 0.25) -> np.ndarray:
         for local_pos, gid in zip(range(1, len(ids_next) + 1), istitch):
             lookup[ids_next[local_pos - 1]] = gid
         masks[i + 1] = lookup[masks[i + 1]]
-        empty = False
+        mmax = max(mmax, int(masks[i + 1].max()))
     return masks
 
 

@@ -74,15 +74,19 @@ def _freeze_label_tree(params, freeze_backbone=False,
     freeze helpers (vit_sam.py:199-249)."""
 
     def label(path):
-        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
-        joined = "/".join(str(n) for n in names)
-        if "encoder" in joined:
-            is_neck = "neck" in joined
+        names = [str(getattr(p, "key", getattr(p, "name", "")))
+                 for p in path]
+        # names[0] is "params", names[1] the top-level module; matching by
+        # module (not substring) keeps the class-head UNet's own
+        # encoder_blocks_* trainable under freeze_backbone
+        top = names[1] if len(names) > 1 and names[0] == "params" \
+            else names[0]
+        if top == "encoder":
+            is_neck = any(n.startswith("neck") for n in names)
             if is_neck:
                 return "frozen" if freeze_neck else "net"
             return "frozen" if freeze_backbone else "net"
-        if joined.endswith("out/kernel") or joined.endswith("out/bias") or \
-                "/out/" in joined:
+        if top == "out":
             return "frozen" if freeze_instance_classification else "net"
         return "net"
 

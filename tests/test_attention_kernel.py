@@ -1,0 +1,68 @@
+"""Pallas rel-pos attention kernel parity (interpret mode on CPU).
+
+The bias construction is direction-sensitive: bias[i, j] must be
+rel_h[i, j // W] + rel_w[i, j % W]. The fixtures use strongly
+row/column-dependent biases so a swapped construction (e.g. tile vs
+elementwise-repeat semantics) fails loudly — a real bug caught in round 1.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from classpose_tpu.nn.attention import (
+    attention_reference,
+    flash_attention_relpos,
+)
+
+B, n, H, W, hd = 1, 2, 8, 8, 64
+L = H * W
+
+
+def _qkv(seed=0):
+    rng = np.random.default_rng(seed)
+    mk = lambda s: jnp.asarray(rng.normal(size=s), jnp.float32)  # noqa: E731
+    return mk((B, n, L, hd)), mk((B, n, L, hd)), mk((B, n, L, hd))
+
+
+@pytest.mark.parametrize(
+    "name,rh_fn,rw_fn",
+    [
+        (
+            "row_dep_h",
+            lambda: jnp.broadcast_to(
+                jnp.arange(H, dtype=jnp.float32) * 3.0, (B, n, L, H)
+            ),
+            lambda: jnp.zeros((B, n, L, W), jnp.float32),
+        ),
+        (
+            "col_dep_w",
+            lambda: jnp.zeros((B, n, L, H), jnp.float32),
+            lambda: jnp.broadcast_to(
+                jnp.arange(W, dtype=jnp.float32) * 3.0, (B, n, L, W)
+            ),
+        ),
+        (
+            "random_both",
+            lambda: jnp.asarray(
+                np.random.default_rng(1).normal(size=(B, n, L, H)) * 2,
+                jnp.float32,
+            ),
+            lambda: jnp.asarray(
+                np.random.default_rng(2).normal(size=(B, n, L, W)) * 2,
+                jnp.float32,
+            ),
+        ),
+    ],
+)
+def test_kernel_matches_reference(name, rh_fn, rw_fn):
+    q, k, v = _qkv()
+    rh, rw = rh_fn(), rw_fn()
+    out = flash_attention_relpos(
+        q, k, v, rh, rw, hd**-0.5, grid_hw=(H, W), interpret=True
+    )
+    ref = attention_reference(q, k, v, rh, rw, hd**-0.5)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-3, rtol=2e-3,
+    )

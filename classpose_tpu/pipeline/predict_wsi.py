@@ -180,7 +180,7 @@ class DeviceWorker:
                 mode="edge",
             )
         self.n_tiles += 1
-        if self.tile_batch > 1:
+        if self.tile_batch > 1 and hasattr(self.models[0], "eval_batch"):
             self._pending.setdefault(b, []).append(
                 (tile, coords, out_size)
             )

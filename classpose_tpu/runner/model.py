@@ -76,6 +76,11 @@ def convert_image(x: np.ndarray, channel_axis: int | None = None) -> np.ndarray:
     return np.ascontiguousarray(x, np.float32)
 
 
+def convert_image_stack(x: np.ndarray) -> np.ndarray:
+    """(Lz, ..., C?) stack → (Lz, Ly, Lx, 3) float32."""
+    return np.stack([convert_image(p) for p in x])
+
+
 def compute_class_masks(
     masks: np.ndarray, y_class: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -257,13 +262,31 @@ class ClassposeModel:
         bsize: int | None = None,
         compute_masks: bool = True,
         qc_downsample: int = 1,
+        do_3D: bool = False,
+        stitch_threshold: float = 0.0,
+        anisotropy: float | None = None,
         **_unused,
     ):
-        """Segment an image or list of images (reference models.py:478-827,
-        2D path). Returns ``(masks, flows, class_masks, styles)`` with
-        flows = (dx_to_circ(dP), dP, cellprob, y_class, input_shape)."""
+        """Segment an image, a list of images, or a 3D stack (reference
+        models.py:478-827). Returns ``(masks, flows, class_masks, styles)``
+        with flows = (dx_to_circ(dP), dP, cellprob, y_class, input_shape).
+
+        3D: ``do_3D=True`` runs the net over orthogonal plane stacks and
+        recovers instances with 3D dynamics; ``stitch_threshold>0`` instead
+        segments each plane in 2D and links instances across planes by IoU
+        (reference models.py:97-188).
+        """
         if bsize is None:
             bsize = self.cfg.bsize
+        if do_3D or stitch_threshold > 0:
+            return self._eval_3d(
+                x, batch_size=batch_size, normalize=normalize,
+                invert=invert, flow_threshold=flow_threshold,
+                cellprob_threshold=cellprob_threshold, min_size=min_size,
+                niter=niter, augment=augment, tile_overlap=tile_overlap,
+                bsize=bsize, do_3D=do_3D,
+                stitch_threshold=stitch_threshold, anisotropy=anisotropy,
+            )
         if isinstance(x, list):
             self.timing = []
             results = ([], [], [], [])
@@ -407,6 +430,131 @@ class ClassposeModel:
             (dx_to_circ(dP), dP, cellprob, y_class, img.shape),
             class_masks,
             styles,
+        )
+
+    def _eval_3d(
+        self,
+        x,
+        batch_size,
+        normalize,
+        invert,
+        flow_threshold,
+        cellprob_threshold,
+        min_size,
+        niter,
+        augment,
+        tile_overlap,
+        bsize,
+        do_3D,
+        stitch_threshold,
+        anisotropy,
+    ):
+        """3D segmentation: plane-aggregated flows + 3D dynamics (do_3D) or
+        per-plane 2D masks linked by IoU (stitch_threshold)."""
+        from classpose_tpu.runner.run3d import (
+            compute_masks_3d,
+            run_3D,
+            stitch3D,
+        )
+
+        x = np.asarray(x, np.float32)
+        if x.ndim == 3:
+            x = np.repeat(x[..., None], 3, axis=-1)
+        if x.shape[-1] != 3:
+            x = convert_image_stack(x)
+        Lz, Ly, Lx = x.shape[:3]
+
+        if anisotropy and anisotropy != 1.0 and do_3D:
+            x = np.asarray(
+                jax.image.resize(
+                    jnp.asarray(x),
+                    (int(Lz * anisotropy), Ly, Lx, 3), "linear",
+                )
+            )
+            Lz = x.shape[0]
+
+        norm_params = dict(NORMALIZE_DEFAULT)
+        if isinstance(normalize, dict):
+            norm_params.update(normalize)
+        else:
+            norm_params["normalize"] = bool(normalize)
+            norm_params["invert"] = invert
+        if norm_params["normalize"]:
+            # norm3D: stats across the whole stack (reference
+            # models.py:651-666)
+            x = np.asarray(
+                normalize_img(
+                    jnp.asarray(x), axis=-1,
+                    lowhigh=norm_params["lowhigh"],
+                    percentile=norm_params["percentile"],
+                    invert=norm_params["invert"],
+                )
+            )
+
+        niter_eff = 200 if niter is None or niter == 0 else niter
+
+        if do_3D:
+            yf, y_classf, _ = run_3D(
+                self._apply, x, n_cell_classes=self.nclasses,
+                batch_size=batch_size, augment=augment,
+                tile_overlap=tile_overlap, bsize=bsize,
+            )
+            cellprob = yf[..., -1]
+            dP = yf[..., :-1].transpose(3, 0, 1, 2)  # (3, Lz, Ly, Lx)
+            masks = compute_masks_3d(
+                dP, cellprob, niter=niter_eff,
+                cellprob_threshold=cellprob_threshold,
+                flow_threshold=flow_threshold, min_size=min_size,
+            )
+            y_class = (
+                y_classf.transpose(3, 0, 1, 2)
+                if y_classf is not None
+                else np.zeros((1,) + cellprob.shape, np.float32)
+            )
+        else:
+            # per-plane 2D masks + IoU stitching
+            from classpose_tpu.runner.core import run_net
+
+            yf, y_classf, _ = run_net(
+                self._apply, x, n_cell_classes=self.nclasses,
+                batch_size=batch_size, augment=augment,
+                tile_overlap=tile_overlap, bsize=bsize,
+            )
+            cellprob = yf[..., -1]
+            dP = yf[..., :2].transpose(3, 0, 1, 2)
+            planes = []
+            for z in range(Lz):
+                planes.append(
+                    _dyn_compute_masks(
+                        dP[:, z], cellprob[z], niter=niter_eff,
+                        cellprob_threshold=cellprob_threshold,
+                        flow_threshold=flow_threshold,
+                        min_size=-1,  # min_size off pre-stitch (reference)
+                    )
+                )
+            masks = stitch3D(
+                np.stack(planes), stitch_threshold=stitch_threshold
+            )
+            if min_size > 0 and masks.max() > 0:
+                counts = np.bincount(masks.ravel())
+                small = counts < min_size
+                small[0] = False
+                masks[small[masks]] = 0
+            y_class = (
+                y_classf.transpose(3, 0, 1, 2)
+                if y_classf is not None
+                else np.zeros((1,) + cellprob.shape, np.float32)
+            )
+
+        if self.nclasses > 1 and masks.max():
+            class_masks, _ = compute_class_masks(masks, y_class)
+        else:
+            class_masks = np.zeros_like(masks)
+        return (
+            masks,
+            (None, dP, cellprob, y_class, x.shape),
+            class_masks,
+            np.zeros(256, np.float32),
         )
 
     # ------------------------------------------------------------ batched API

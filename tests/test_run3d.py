@@ -74,3 +74,26 @@ def test_run_3d_aggregates_planes():
     assert yf.shape == (6, 64, 64, 4)
     assert y_classf.shape == (6, 64, 64, 3)
     assert np.isfinite(yf).all()
+
+
+def test_eval_do_3d_and_stitch_paths():
+    from classpose_tpu.nn import ClassTransformerConfig
+    from classpose_tpu.runner import ClassposeModel
+
+    cfg = ClassTransformerConfig(
+        n_cell_classes=3, embed_dim=32, depth=1, num_heads=2, neck_dim=16,
+        bsize=64,
+    )
+    model = ClassposeModel(cfg=cfg, precision="fp32")
+    stack = np.random.default_rng(1).uniform(
+        0, 255, size=(4, 64, 64, 3)
+    ).astype(np.float32)
+    masks3d, flows, cm, _ = model.eval(
+        stack, do_3D=True, niter=10, min_size=1, bsize=64
+    )
+    assert masks3d.shape == (4, 64, 64)
+    assert flows[1].shape == (3, 4, 64, 64)  # 3D flow components
+    masks_st, *_ = model.eval(
+        stack, stitch_threshold=0.25, niter=10, min_size=1, bsize=64
+    )
+    assert masks_st.shape == (4, 64, 64)

@@ -179,3 +179,43 @@ def test_bigtiff_reader(tmp_path):
     r = np.asarray(s.read_region((10, 5), 0, (32, 16)))[..., :3]
     np.testing.assert_array_equal(r, img[5:21, 10:42])
     s.close()
+
+
+def test_download_if_unavailable(tmp_path, monkeypatch):
+    from classpose_tpu import utils
+
+    payload = b"slide-bytes" * 100
+
+    class FakeResp:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def raise_for_status(self):
+            pass
+
+        def iter_content(self, chunk_size):
+            yield payload
+
+    import types, sys
+
+    fake_requests = types.SimpleNamespace(
+        get=lambda url, stream, timeout: FakeResp()
+    )
+    monkeypatch.setitem(sys.modules, "requests", fake_requests)
+
+    dest = tmp_path / "dl" / "slide.svs"
+    out = utils.download_if_unavailable(str(dest), "https://x/slide.svs")
+    assert dest.read_bytes() == payload
+    # idempotent: second call does not re-download
+    fake_requests.get = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("should not re-download")
+    )
+    assert utils.download_if_unavailable(str(dest), "https://x/s") == str(dest)
+    # insecure http refused without the env gate
+    with pytest.raises(ValueError, match="Refusing insecure"):
+        utils.download_if_unavailable(
+            str(tmp_path / "other.svs"), "http://x/slide.svs"
+        )

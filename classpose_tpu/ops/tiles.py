@@ -195,3 +195,99 @@ def average_tiles(
             )
             k += 1
     return yf.astype(jnp.float32) / (navg + eps)
+
+
+def _blend_1d(pieces: list, starts: tuple[int, ...], bsize: int, L: int,
+              axis: int, mask1d: jnp.ndarray, eps: float = 1e-12):
+    """Blend equal-size slabs along ``axis`` into length ``L`` by
+    concatenating exclusive segments and pairwise-overlap weighted sums.
+
+    Requires every point to be covered by at most two slabs (true for the
+    production tile_overlap=0.1 grids; the TTA half-overlap grid uses the
+    scatter-add path instead). Traffic is O(output) instead of
+    O(n_slabs × output)."""
+    n = len(pieces)
+    if n == 1:
+        return pieces[0]
+
+    def seg(piece, lo, hi):
+        idx = [slice(None)] * piece.ndim
+        idx[axis] = slice(lo, hi)
+        return piece[tuple(idx)]
+
+    def wseg(i, j, lo, hi):
+        # weighted average of slabs i (ending) and j (starting) over the
+        # global interval [lo, hi)
+        wi = mask1d[lo - starts[i] : hi - starts[i]]
+        wj = mask1d[lo - starts[j] : hi - starts[j]]
+        shape = [1] * pieces[0].ndim
+        shape[axis] = hi - lo
+        wi = wi.reshape(shape)
+        wj = wj.reshape(shape)
+        a = seg(pieces[i], lo - starts[i], hi - starts[i])
+        b = seg(pieces[j], lo - starts[j], hi - starts[j])
+        return (a * wi + b * wj) / (wi + wj + eps)
+
+    out = []
+    cursor = 0
+    for i in range(n):
+        end_i = starts[i] + bsize
+        nxt = starts[i + 1] if i + 1 < n else L
+        # exclusive part of slab i
+        excl_hi = min(end_i, nxt)
+        if excl_hi > cursor:
+            out.append(seg(pieces[i], cursor - starts[i],
+                           excl_hi - starts[i]))
+            cursor = excl_hi
+        # overlap with slab i+1
+        if i + 1 < n and end_i > nxt:
+            out.append(wseg(i, i + 1, nxt, end_i))
+            cursor = end_i
+    return jnp.concatenate(out, axis=axis)
+
+
+def average_tiles_separable(
+    y: jnp.ndarray, grid: TileGrid, eps: float = 1e-12
+) -> jnp.ndarray:
+    """Exact equivalent of :func:`average_tiles` for grids where at most
+    two tiles overlap per axis (tile_overlap < 0.5, non-TTA): a separable
+    concat-based two-pass blend with O(output) HBM traffic instead of the
+    unrolled scatter-add chain.
+
+    Falls back to :func:`average_tiles` when the grid violates the
+    pairwise-overlap precondition.
+    """
+    b = grid.bsize
+
+    def pairwise_ok(starts):
+        return all(
+            starts[i + 2] >= starts[i] + b
+            for i in range(len(starts) - 2)
+        )
+
+    if grid.augment or not pairwise_ok(grid.ystart) \
+            or not pairwise_ok(grid.xstart):
+        return average_tiles(y, grid, eps)
+
+    acc_t = y.dtype if y.dtype == jnp.bfloat16 else jnp.float32
+    # separable windows: taper_mask = m1d[:, None] * m1d[None, :]
+    xm = np.arange(b, dtype=np.float32)
+    xm = np.abs(xm - xm.mean())
+    m1d = jnp.asarray(
+        (1.0 / (1.0 + np.exp((xm - (b / 2 - 20)) / 7.5))).astype(np.float32)
+    ).astype(acc_t)
+
+    ny, nx = grid.ny, grid.nx
+    yv = y.astype(acc_t).reshape((ny, nx) + y.shape[1:])
+    # pass 1: blend along x within each tile row (weights = m1d on axis -1)
+    rows = []
+    for j in range(ny):
+        pieces = [yv[j, i] for i in range(nx)]
+        rows.append(
+            _blend_1d(pieces, grid.xstart, b, grid.Lx, axis=-1,
+                      mask1d=m1d, eps=eps)
+        )
+    # pass 2: blend rows along y (weights = m1d on axis -2)
+    out = _blend_1d(rows, grid.ystart, b, grid.Ly, axis=-2, mask1d=m1d,
+                    eps=eps)
+    return out.astype(jnp.float32)

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from classpose_tpu.ops.tiles import (
-    average_tiles,
+    average_tiles_separable as average_tiles,
     compute_tile_grid,
     get_pad_yx,
     make_tiles,

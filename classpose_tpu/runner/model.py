@@ -686,7 +686,7 @@ class ClassposeModel:
         from classpose_tpu.dynamics.masks import follow_flows
         from classpose_tpu.ops.normalize import normalize_img
         from classpose_tpu.ops.tiles import (
-            average_tiles,
+            average_tiles_separable as average_tiles,
             compute_tile_grid,
             get_pad_yx,
             make_tiles,

@@ -145,3 +145,26 @@ def test_percentile_subsample_close_to_exact():
         normalize_img(jnp.asarray(img), axis=-1, percentile_subsample=2)
     )
     assert np.abs(exact - approx).max() < 0.02
+
+
+def test_average_tiles_separable_exact():
+    from classpose_tpu.ops.tiles import average_tiles_separable
+
+    rng = np.random.default_rng(9)
+    for Ly, Lx in [(1024, 1024), (500, 400), (256, 256), (300, 700)]:
+        g = compute_tile_grid(Ly, Lx, bsize=256, tile_overlap=0.1)
+        y = rng.normal(size=(g.ntiles, 3, 256, 256)).astype(np.float32)
+        ref = np.asarray(average_tiles(jnp.asarray(y), g))
+        sep = np.asarray(average_tiles_separable(jnp.asarray(y), g))
+        np.testing.assert_allclose(sep, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_average_tiles_separable_tta_fallback():
+    from classpose_tpu.ops.tiles import average_tiles_separable
+
+    g = compute_tile_grid(300, 300, bsize=256, augment=True)
+    rng = np.random.default_rng(10)
+    y = rng.normal(size=(g.ntiles, 3, 256, 256)).astype(np.float32)
+    ref = np.asarray(average_tiles(jnp.asarray(y), g))
+    sep = np.asarray(average_tiles_separable(jnp.asarray(y), g))
+    np.testing.assert_allclose(sep, ref, rtol=1e-5)

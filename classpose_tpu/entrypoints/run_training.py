@@ -12,7 +12,6 @@ host, data parallelism is the device mesh (no process spawning needed).
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import time
 from pathlib import Path

@@ -30,8 +30,9 @@ def build_parser() -> argparse.ArgumentParser:
         "'puma' or a path to a Classpose model config YAML.",
     )
     parser.add_argument(
-        "--slide_path", type=str, required=True,
-        help="Path (or HTTP/HTTPS URL) of the whole-slide image.",
+        "--slide_path", type=str, required=True, nargs="+",
+        help="Path(s) (or HTTP/HTTPS URLs) of the whole-slide image(s); "
+        "multiple slides share one model (jit programs load once).",
     )
     parser.add_argument(
         "--tissue_detection_model_path", type=str, default=None,
@@ -116,7 +117,26 @@ def main_with_args(argv=None):
     from classpose_tpu.parallel.mesh import enable_compilation_cache
 
     enable_compilation_cache()
-    main(args)
+    slides = (
+        args.slide_path if isinstance(args.slide_path, list)
+        else [args.slide_path]
+    )
+    model = None
+    if len(slides) > 1:
+        from classpose_tpu.model_configs import resolve_model_config
+        from classpose_tpu.pipeline.predict_wsi import (
+            build_model_from_config,
+        )
+
+        config = resolve_model_config(args.model_config)
+        config.download_if_necessary()
+        model = build_model_from_config(
+            config, precision=args.precision,
+            n_config_labels=len(config.cell_types),
+        )
+    for slide in slides:
+        args.slide_path = slide
+        main(args, model_override=model)
 
 
 if __name__ == "__main__":

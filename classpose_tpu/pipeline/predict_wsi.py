@@ -280,6 +280,36 @@ def infer_structure(model_path: str):
     return _infer(model_path)
 
 
+def build_model_from_config(model_config, precision: str = "bf16",
+                            n_config_labels: int | None = None):
+    """Construct the ClassposeModel for a resolved ModelConfig (structure
+    auto-detected from the checkpoint). Reusable across slides — jit
+    programs are cached per model instance, so multi-slide runs should
+    build the model once."""
+    structure, n_classes = infer_structure(model_config.path)
+    logger.info(
+        "Inferred model structure: unet=%s n_classes=%d", structure,
+        n_classes,
+    )
+    if (
+        n_config_labels is not None
+        and n_classes > 1
+        and n_config_labels != n_classes
+    ):
+        logger.warning(
+            "Model has %d classes but config lists %d cell types",
+            n_classes, n_config_labels,
+        )
+    from classpose_tpu.runner import ClassposeModel
+
+    return ClassposeModel(
+        pretrained_model=model_config.path,
+        nclasses=n_classes,
+        feature_transformation_structure=structure,
+        precision=precision,
+    )
+
+
 def main(args, model_override=None) -> dict:
     """Run the full WSI pipeline; returns a small result summary dict.
 
@@ -321,25 +351,11 @@ def main(args, model_override=None) -> dict:
         model = model_override
         n_classes = getattr(model, "nclasses", len(labels) + 1)
     else:
-        structure, n_classes = infer_structure(model_config.path)
-        logger.info(
-            "Inferred model structure: unet=%s n_classes=%d",
-            structure, n_classes,
+        model = build_model_from_config(
+            model_config, precision=getattr(args, "precision", "bf16"),
+            n_config_labels=len(labels),
         )
-        if n_classes > 1 and len(labels) != n_classes:
-            logger.warning(
-                "Model has %d classes but config lists %d cell types",
-                n_classes, len(labels),
-            )
-
-        from classpose_tpu.runner import ClassposeModel
-
-        model = ClassposeModel(
-            pretrained_model=model_config.path,
-            nclasses=n_classes,
-            feature_transformation_structure=structure,
-            precision=getattr(args, "precision", "bf16"),
-        )
+        n_classes = model.nclasses
     if n_classes <= 1:
         labels = None
 

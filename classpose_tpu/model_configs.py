@@ -26,80 +26,46 @@ HOME = Path.home()
 ROOT_MODEL_DIR = Path(os.getenv("CLASSPOSE_MODEL_DIR", HOME / ".classpose_models"))
 REPO_ID = "classpose/classpose"
 
+# Built-in model registry: (training MPP, cell-type labels). These values
+# are the published model contract (per-model training resolution and label
+# order) and must match the upstream releases exactly.
+_BUILTIN_MODELS: dict[str, tuple[float, tuple[str, ...]]] = {
+    "conic": (0.5, (
+        "Neutrophil", "Epithelial", "Lymphocyte", "Plasma cell",
+        "Eosinophil", "Connective",
+    )),
+    "consep": (0.25, (
+        "Other", "Inflammatory", "Healthy epithelial",
+        "Malignant epithelial", "Stroma", "Muscle",
+    )),
+    "glysac": (0.25, ("Other", "Lymphocyte", "Epithelial", "Ambiguous")),
+    "monusac": (0.25, (
+        "Epithelial", "Lymphocyte", "Macrophage", "Neutrophil",
+    )),
+    "nucls": (0.2, (
+        "Tumor", "Stroma", "Lymphocyte", "Plasma cell", "Macrophage",
+        "Other",
+    )),
+    "puma": (0.22, (
+        "Apoptosis", "Tumor", "Endothelial", "Stroma", "Lymphocyte",
+        "Histocyte", "Epithelial", "Melanophage", "Other",
+    )),
+}
+
+
+def _builtin(name: str, mpp: float, cell_types: tuple[str, ...]) -> dict:
+    return {
+        "path": str(ROOT_MODEL_DIR / f"{name}.pt"),
+        "mpp": mpp,
+        "url": None,
+        "hf": {"repo_id": REPO_ID, "filename": f"{name}.pt"},
+        "cell_types": list(cell_types),
+    }
+
+
 DEFAULT_MODEL_CONFIGS: dict[str, dict] = {
-    "conic": {
-        "path": str(ROOT_MODEL_DIR / "conic.pt"),
-        "mpp": 0.5,
-        "url": None,
-        "hf": {"repo_id": REPO_ID, "filename": "conic.pt"},
-        "cell_types": [
-            "Neutrophil",
-            "Epithelial",
-            "Lymphocyte",
-            "Plasma cell",
-            "Eosinophil",
-            "Connective",
-        ],
-    },
-    "consep": {
-        "path": str(ROOT_MODEL_DIR / "consep.pt"),
-        "mpp": 0.25,
-        "url": None,
-        "hf": {"repo_id": REPO_ID, "filename": "consep.pt"},
-        "cell_types": [
-            "Other",
-            "Inflammatory",
-            "Healthy epithelial",
-            "Malignant epithelial",
-            "Stroma",
-            "Muscle",
-        ],
-    },
-    "glysac": {
-        "path": str(ROOT_MODEL_DIR / "glysac.pt"),
-        "mpp": 0.25,
-        "url": None,
-        "hf": {"repo_id": REPO_ID, "filename": "glysac.pt"},
-        "cell_types": ["Other", "Lymphocyte", "Epithelial", "Ambiguous"],
-    },
-    "monusac": {
-        "path": str(ROOT_MODEL_DIR / "monusac.pt"),
-        "mpp": 0.25,
-        "url": None,
-        "hf": {"repo_id": REPO_ID, "filename": "monusac.pt"},
-        "cell_types": ["Epithelial", "Lymphocyte", "Macrophage", "Neutrophil"],
-    },
-    "nucls": {
-        "path": str(ROOT_MODEL_DIR / "nucls.pt"),
-        "mpp": 0.2,
-        "url": None,
-        "hf": {"repo_id": REPO_ID, "filename": "nucls.pt"},
-        "cell_types": [
-            "Tumor",
-            "Stroma",
-            "Lymphocyte",
-            "Plasma cell",
-            "Macrophage",
-            "Other",
-        ],
-    },
-    "puma": {
-        "path": str(ROOT_MODEL_DIR / "puma.pt"),
-        "mpp": 0.22,
-        "url": None,
-        "hf": {"repo_id": REPO_ID, "filename": "puma.pt"},
-        "cell_types": [
-            "Apoptosis",
-            "Tumor",
-            "Endothelial",
-            "Stroma",
-            "Lymphocyte",
-            "Histocyte",
-            "Epithelial",
-            "Melanophage",
-            "Other",
-        ],
-    },
+    name: _builtin(name, mpp, types)
+    for name, (mpp, types) in _BUILTIN_MODELS.items()
 }
 
 

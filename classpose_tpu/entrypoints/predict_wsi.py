@@ -94,9 +94,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="Directory for a jax.profiler trace of the run.",
     )
     parser.add_argument(
-        "--tile_batch", type=int, default=1,
+        "--tile_batch", type=int, default=None,
         help="Slide tiles per device program (batches normalization, "
-        "forward and Euler integration; amortizes dispatch overhead).",
+        "forward and Euler integration; amortizes dispatch overhead). "
+        "Default: max(4, n_devices). 1 forces the per-tile eval path.",
     )
     parser.add_argument(
         "--filter_background_tiles", action="store_true", default=False,

@@ -54,8 +54,8 @@ logger = get_logger(__name__)
 TILE_BUCKETS = (256, 384, 512, 640, 768, 896, 1024)
 
 
-def _bucket_size(n: int) -> int:
-    for b in TILE_BUCKETS:
+def _bucket_size(n: int, buckets: tuple[int, ...] = TILE_BUCKETS) -> int:
+    for b in buckets:
         if n <= b:
             return b
     return int(256 * np.ceil(n / 256))
@@ -65,12 +65,17 @@ class DeviceWorker:
     """Tile consumer: normalization + tiled net + dynamics on device(s),
     mask→polygon extraction on a host thread pool.
 
-    Multi-device execution mirrors the reference's one-process-per-GPU tile
-    workers (predict_wsi.py:1542-1592) the JAX way: tiles are dispatched
-    round-robin onto per-device inference threads (async device dispatch
-    keeps every chip busy) while polygon extraction overlaps on host
-    threads. ``devices`` comes from the ``--device`` flag
-    (tpu / tpu:0,1 / the reference's cuda:0,1 syntax)."""
+    Multi-device execution is mesh-sharded tile parallelism (BASELINE
+    config 4, replacing the reference's one-process-per-GPU tile workers,
+    predict_wsi.py:1542-1592): the model's params are replicated over a
+    ``tiles`` mesh once and each ``eval_batch`` call runs ONE partitioned
+    program with the tile batch sharded on the leading axis — tiles ride
+    ICI, not pickled process queues, and every program compiles once for
+    the whole mesh. ``devices`` comes from the ``--device`` flag
+    (tpu / tpu:0,1 / the reference's cuda:0,1 syntax). ``tile_batch=None``
+    defaults to max(4, n_devices); models without the batched API
+    (injected test oracles) fall back to per-device replicas with
+    round-robin threads."""
 
     def __init__(
         self,
@@ -87,7 +92,8 @@ class DeviceWorker:
         devices: list | None = None,
         qc_downsample: int = 1,
         percentile_subsample: int = 1,
-        tile_batch: int = 1,
+        tile_batch: int | None = None,
+        tile_buckets: tuple[int, ...] | None = None,
     ):
         import jax
 
@@ -101,7 +107,7 @@ class DeviceWorker:
         self.min_size = min_size
         self.qc_downsample = qc_downsample
         self.percentile_subsample = percentile_subsample
-        self.tile_batch = max(1, int(tile_batch))
+        self.tile_buckets = tuple(tile_buckets) if tile_buckets else TILE_BUCKETS
         self._pending: dict[int, list] = {}
         self._pool = ThreadPoolExecutor(max_workers=n_post_threads)
         self._futures = []
@@ -110,23 +116,40 @@ class DeviceWorker:
         self.infer_seconds = 0.0  # cumulative device-path time (§5.1 timers)
 
         devices = devices or [jax.devices()[0]]
+        batched = hasattr(model, "eval_batch")
+        if tile_batch is None or int(tile_batch) <= 0:
+            # fast path by default: the per-tile eval round-trips the host
+            # several times per tile; the batched program amortizes those
+            # dispatches (VERDICT r1 items 2+6)
+            tile_batch = max(4, len(devices)) if batched else 1
+        self.tile_batch = max(1, int(tile_batch))
         self.models = [model]
-        for dev in devices[1:]:
-            # replicate the model onto each extra device; jit dispatch
-            # follows the argument placement, so each replica's work runs
-            # on its own chip
-            replica = type(model).__new__(type(model))
-            replica.__dict__.update(model.__dict__)
-            replica.params = jax.device_put(model.params, dev)
-            replica._apply = (
-                lambda x, _r=replica: _r.net.apply(_r.params, x)
-            )
-            replica._runners = {}
-            self.models.append(replica)
+        self.sharded = False
+        if len(devices) > 1 and batched and hasattr(model, "shard_over"):
+            model.shard_over(devices)
+            self.sharded = model._mesh is not None
+            self.tile_batch = max(self.tile_batch, len(devices))
+        elif len(devices) > 1:
+            for dev in devices[1:]:
+                # fallback: replicate the model onto each extra device; jit
+                # dispatch follows the argument placement, so each
+                # replica's work runs on its own chip
+                replica = type(model).__new__(type(model))
+                replica.__dict__.update(model.__dict__)
+                replica.params = jax.device_put(model.params, dev)
+                replica._apply = (
+                    lambda x, _r=replica: _r.net.apply(_r.params, x)
+                )
+                replica._runners = {}
+                self.models.append(replica)
+        # one background inference thread keeps the reader streaming while
+        # the device (or mesh) crunches the current batch; the replica
+        # fallback gets one thread per replica
+        n_infer = len(self.models) if len(self.models) > 1 else (
+            1 if self.tile_batch > 1 else 0
+        )
         self._infer_pool = (
-            ThreadPoolExecutor(max_workers=len(self.models))
-            if len(self.models) > 1
-            else None
+            ThreadPoolExecutor(max_workers=n_infer) if n_infer else None
         )
         self._rr = 0
 
@@ -169,7 +192,7 @@ class DeviceWorker:
 
     def submit(self, tile: np.ndarray, coords, out_size: int):
         """Run inference for one tile and queue host post-processing."""
-        b = _bucket_size(max(tile.shape[:2]))
+        b = _bucket_size(max(tile.shape[:2]), self.tile_buckets)
         if tile.shape[0] != b or tile.shape[1] != b:
             # edge-replicate to the bucket size: zero padding would skew
             # the percentile normalization computed over the canvas (the
@@ -402,10 +425,14 @@ def main(args, model_override=None) -> dict:
         n_post_threads=getattr(args, "inference_threads", None) or 4,
         qc_downsample=2 if getattr(args, "fast_qc", False) else 1,
         percentile_subsample=2 if getattr(args, "fast_qc", False) else 1,
-        tile_batch=getattr(args, "tile_batch", 1) or 1,
+        tile_batch=getattr(args, "tile_batch", None),
     )
     if len(devices) > 1:
-        logger.info("Tile-parallel inference over %d devices", len(devices))
+        logger.info(
+            "Tile-parallel inference over %d devices (%s)", len(devices),
+            "mesh-sharded eval_batch" if worker.sharded
+            else "per-device replicas",
+        )
 
     profile_dir = getattr(args, "profile", None)
     if profile_dir:

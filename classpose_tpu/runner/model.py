@@ -229,6 +229,36 @@ class ClassposeModel:
 
         self._apply = lambda x: self.net.apply(self.params, x)
         self._runners: dict = {}
+        self._mesh = None
+        self._tile_sharding = None
+        self._replicated = None
+
+    def shard_over(self, devices) -> "ClassposeModel":
+        """Enable tile-parallel execution of :meth:`eval_batch` over a
+        device mesh (BASELINE config 4; the TPU-native form of the
+        reference's one-process-per-GPU tile workers,
+        predict_wsi.py:1542-1592).
+
+        Params are replicated onto every device ONCE; eval_batch inputs
+        are then sharded on the leading (tile) axis and GSPMD partitions
+        the vmapped per-tile program — tiles ride ICI, params never move
+        again, and each program compiles once for the whole mesh instead
+        of once per replica."""
+        import numpy as _np
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        devices = list(devices)
+        if len(devices) <= 1:
+            self._mesh = None
+            return self
+        mesh = Mesh(_np.array(devices), ("tiles",))
+        self._mesh = mesh
+        self._tile_sharding = NamedSharding(mesh, P("tiles"))
+        self._replicated = NamedSharding(mesh, P())
+        self.params = jax.device_put(self.params, self._replicated)
+        self._apply = lambda x: self.net.apply(self.params, x)
+        self._runners = {}
+        return self
 
     def _get_runner(self, batch_size, augment, tile_overlap, bsize):
         key = (batch_size, augment, tile_overlap, bsize)
@@ -584,8 +614,20 @@ class ClassposeModel:
 
         Args: tiles (B, S, S, 3) float32 at model MPP. Returns a list of
         (masks, class_masks) int32 arrays.
+
+        When :meth:`shard_over` armed a mesh, the batch is padded to a
+        multiple of the mesh size (repeating the last tile — zero tiles
+        would skew nothing but waste identical compute) and sharded on the
+        leading axis; per-tile programs are independent along B, so the
+        partitioned run is bit-identical to the single-device one.
         """
         tiles = np.ascontiguousarray(tiles, np.float32)
+        B0 = tiles.shape[0]
+        n_dev = int(self._mesh.devices.size) if self._mesh is not None else 1
+        if n_dev > 1 and B0 % n_dev:
+            tiles = np.concatenate(
+                [tiles, np.repeat(tiles[-1:], (-B0) % n_dev, axis=0)]
+            )
         B, S = tiles.shape[0], tiles.shape[1]
         key = ("batched", B, S, batch_size, niter, percentile_subsample,
                cellprob_threshold, augment)
@@ -594,7 +636,12 @@ class ClassposeModel:
                 B, S, batch_size, niter, percentile_subsample,
                 cellprob_threshold, augment,
             )
-        y_class, p, iscell, dP = self._runners[key](jnp.asarray(tiles))
+        xt = (
+            jax.device_put(tiles, self._tile_sharding)
+            if self._mesh is not None
+            else jnp.asarray(tiles)
+        )
+        y_class, p, iscell, dP = self._runners[key](xt)
 
         # host per tile: cluster-id relabel + size filter; then ONE batched
         # device program recomputes the QC flows for every tile (shared
@@ -642,9 +689,13 @@ class ClassposeModel:
                 min(max(2 * max(extents, default=1), 40), 400), 40
             )
             cms = np.stack([instance_center_map(m) for m in ms])
+            ms_dev, cms_dev = jnp.asarray(ms), jnp.asarray(cms)
+            if self._mesh is not None:
+                ms_dev = jax.device_put(ms, self._tile_sharding)
+                cms_dev = jax.device_put(cms, self._tile_sharding)
             mu = np.asarray(
                 jax.vmap(lambda a, b: _diffuse_and_grad(a, b, niter_qc))(
-                    jnp.asarray(ms), jnp.asarray(cms)
+                    ms_dev, cms_dev
                 )
             )
             dP_ds = dP_np[:, :, ::d, ::d]
@@ -668,7 +719,7 @@ class ClassposeModel:
                     masks[bad[masks]] = 0
 
         out = []
-        for i in range(B):
+        for i in range(B0):
             masks = masks_list[i]
             if masks.max():
                 masks = fill_holes_and_remove_small_masks(

@@ -74,3 +74,47 @@ def test_pipeline_multidevice_matches_single(tmp_path):
     multi = main(_args(tmp_path / "multi", "cpu"))
     assert multi["n_tiles"] == single["n_tiles"]
     assert multi["n_cells"] == single["n_cells"]
+
+    # the mesh-sharded program partitions independent per-tile work, so
+    # the cells must be IDENTICAL, not merely equinumerous
+    import json
+
+    def _cells(out):
+        with open(out / "s_cell_contours.geojson") as f:
+            feats = json.load(f)["features"]
+        return sorted(
+            json.dumps(
+                (f["geometry"]["coordinates"],
+                 f["properties"].get("classification")),
+                sort_keys=True,
+            )
+            for f in feats
+        )
+
+    assert _cells(tmp_path / "multi") == _cells(tmp_path / "single")
+
+
+def test_pipeline_multidevice_uses_sharded_path(tmp_path):
+    """--device cpu (8 virtual devices) must arm the mesh-sharded
+    eval_batch path, not per-device replicas (VERDICT r1 item 2)."""
+    import jax
+
+    from classpose_tpu.nn import ClassTransformerConfig
+    from classpose_tpu.pipeline.predict_wsi import DeviceWorker
+    from classpose_tpu.runner import ClassposeModel
+
+    cfg = ClassTransformerConfig(
+        n_cell_classes=3, embed_dim=32, depth=1, num_heads=2, neck_dim=16,
+        bsize=64,
+    )
+    model = ClassposeModel(cfg=cfg, precision="fp32")
+    worker = DeviceWorker(
+        model, labels=["a", "b"], prediction_to_slide_scale=1.0,
+        devices=list(jax.devices()), tile_buckets=(64,), niter=8,
+    )
+    assert worker.sharded
+    assert worker.tile_batch == 8  # max(4, n_devices)
+    assert int(model._mesh.devices.size) == 8
+    # params replicated once over the mesh
+    leaf = jax.tree_util.tree_leaves(model.params)[0]
+    assert len(leaf.devices()) == 8

@@ -7,8 +7,14 @@ core: shoelace metrics, ray-casting containment, segment-intersection
 validity, rasterization-based repair, an STR-packed R-tree, and KD-tree
 centroid deduplication (scipy)."""
 
-from classpose_tpu.geometry.polygons import Polygon, make_valid
+from classpose_tpu.geometry.polygons import (
+    Polygon,
+    intersection_area,
+    make_valid,
+)
 from classpose_tpu.geometry.strtree import STRtree
 from classpose_tpu.geometry.dedup import deduplicate
 
-__all__ = ["Polygon", "make_valid", "STRtree", "deduplicate"]
+__all__ = [
+    "Polygon", "intersection_area", "make_valid", "STRtree", "deduplicate",
+]

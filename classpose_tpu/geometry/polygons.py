@@ -174,6 +174,43 @@ def _ring_self_intersects(ring: np.ndarray) -> bool:
     return False
 
 
+def intersection_area(a: "Polygon", b: "Polygon",
+                      max_canvas: int = 2048) -> float:
+    """Area of ``a ∩ b`` by rasterizing both fills over the bbox overlap
+    (first-party stand-in for shapely's
+    ``artefact_poly.intersection(roi_poly).area`` used by the reference's
+    per-ROI density correction, predict_wsi.py:1818-1824).
+
+    Level-0 WSI coordinates can span 100k px, so the canvas is scaled to
+    at most ``max_canvas`` per side; the error is O(perimeter·pixel_size),
+    negligible against the ROI/tissue areas this feeds (a density
+    denominator)."""
+    import cv2
+
+    ax0, ay0, ax1, ay1 = a.bounds
+    bx0, by0, bx1, by1 = b.bounds
+    x0, y0 = max(ax0, bx0), max(ay0, by0)
+    x1, y1 = min(ax1, bx1), min(ay1, by1)
+    if x1 <= x0 or y1 <= y0:
+        return 0.0
+    w, h = x1 - x0, y1 - y0
+    scale = min(1.0, max_canvas / max(w, h, 1.0))
+    W = int(np.ceil(w * scale)) + 2
+    H = int(np.ceil(h * scale)) + 2
+
+    def rasterize(p: Polygon) -> np.ndarray:
+        m = np.zeros((H, W), np.uint8)
+        ext = np.round((p.exterior - [x0, y0]) * scale).astype(np.int32)
+        cv2.fillPoly(m, [ext], 1)
+        for hole in p.holes:
+            hr = np.round((hole - [x0, y0]) * scale).astype(np.int32)
+            cv2.fillPoly(m, [hr], 0)
+        return m
+
+    inter = int((rasterize(a) & rasterize(b)).sum())
+    return inter / (scale * scale)
+
+
 def make_valid(coords: np.ndarray, grid_pad: int = 2) -> list[np.ndarray]:
     """Repair a (possibly self-intersecting) ring by rasterizing its
     even-odd fill and re-extracting outer contours.

@@ -483,6 +483,7 @@ def main(args, model_override=None) -> dict:
 
     artefact_features = None
     artefact_area = 0.0
+    artefact_polygons_l0: list = []
     if getattr(args, "artefact_detection_model_path", None):
         from classpose_tpu.grandqc import detect_artefacts_wsi
 
@@ -494,6 +495,7 @@ def main(args, model_override=None) -> dict:
             ),
         )
         artefact_features = art["geojson"]["features"]
+        artefact_polygons_l0 = art["polygons_level0"]
         artefact_area = sum(p.area for p in art["polygons"])  # level-0 px²
         if getattr(args, "filter_artefacts", False) and art["polygons"]:
             atree = STRtree(art["polygons_level0"])
@@ -554,7 +556,18 @@ def main(args, model_override=None) -> dict:
             tissue_by_roi = {
                 k: sum(p.area for p in v) for k, v in roi_class_dict.items()
             }
-            artefact_by_roi = {k: 0.0 for k in roi_class_dict}
+            # per-ROI artefact correction: effective area = ROI − artefact∩ROI
+            # (reference predict_wsi.py:1810-1824)
+            from classpose_tpu.geometry import intersection_area
+
+            artefact_by_roi = {
+                k: sum(
+                    intersection_area(ap, rp)
+                    for ap in artefact_polygons_l0
+                    for rp in v
+                )
+                for k, v in roi_class_dict.items()
+            }
             densities = calculate_cellular_densities(
                 cells_by_roi, tissue_by_roi, artefact_by_roi,
                 loader.mpp[0], loader.mpp[1], labels,

@@ -121,3 +121,81 @@ def test_process_tile_single_class_mode():
     cells, _ = process_tile(masks, None, (0, 0), 1.0, labels=None)
     assert cells[0]["label"] == "cell"
     assert cells[0]["color"] == [0, 168, 132]
+
+
+def test_intersection_area_known_shapes():
+    from classpose_tpu.geometry import intersection_area
+
+    sq = Polygon([(0, 0), (100, 0), (100, 100), (0, 100)])
+    # half-overlapping square
+    sq2 = Polygon([(50, 0), (150, 0), (150, 100), (50, 100)])
+    a = intersection_area(sq, sq2)
+    assert abs(a - 5000) / 5000 < 0.05
+    # disjoint
+    far = Polygon([(500, 500), (600, 500), (600, 600), (500, 600)])
+    assert intersection_area(sq, far) == 0.0
+    # containment
+    inner = Polygon([(25, 25), (75, 25), (75, 75), (25, 75)])
+    a = intersection_area(sq, inner)
+    assert abs(a - 2500) / 2500 < 0.05
+    # hole in a excludes overlap
+    holed = Polygon(
+        [(0, 0), (100, 0), (100, 100), (0, 100)],
+        holes=[[(20, 20), (80, 20), (80, 80), (20, 80)]],
+    )
+    a = intersection_area(holed, inner)
+    # inner (2500) minus the hole part (50x50 fully inside hole) ≈ 0
+    assert a < 2500 * 0.1
+    # large coordinates exercise the downscaled canvas
+    big = Polygon([(0, 0), (100000, 0), (100000, 100000), (0, 100000)])
+    big2 = Polygon([(50000, 0), (150000, 0), (150000, 100000),
+                    (50000, 100000)])
+    a = intersection_area(big, big2)
+    assert abs(a - 5e9) / 5e9 < 0.01
+
+
+def test_per_roi_artefact_corrected_densities():
+    """An artefact overlapping ONE ROI class must change only that class's
+    density (reference predict_wsi.py:1810-1824, VERDICT r1 item 8)."""
+    from classpose_tpu.geometry import intersection_area
+    from classpose_tpu.pipeline.outputs import calculate_cellular_densities
+
+    roi_a = Polygon([(0, 0), (1000, 0), (1000, 1000), (0, 1000)])
+    roi_b = Polygon([(2000, 0), (3000, 0), (3000, 1000), (2000, 1000)])
+    roi_class_dict = {"A": [roi_a], "B": [roi_b]}
+    artefact = Polygon([(0, 0), (500, 0), (500, 1000), (0, 1000)])
+
+    def cell(x, y, name):
+        return {
+            "properties": {"classification": {"name": name}},
+            "geometry": {"coordinates": [[[x, y]]]},
+        }
+
+    cells_by_roi = {
+        "A": [cell(700, 700, "tumor")],
+        "B": [cell(2500, 500, "tumor")],
+    }
+    tissue_by_roi = {k: sum(p.area for p in v)
+                     for k, v in roi_class_dict.items()}
+    artefact_by_roi = {
+        k: sum(intersection_area(artefact, rp) for rp in v)
+        for k, v in roi_class_dict.items()
+    }
+    assert artefact_by_roi["B"] == 0.0
+    assert abs(artefact_by_roi["A"] - 500_000) / 500_000 < 0.05
+
+    df = calculate_cellular_densities(
+        cells_by_roi, tissue_by_roi, artefact_by_roi, 1.0, 1.0, ["tumor"]
+    )
+    dens = {r["region"]: r["density"] for _, r in df.iterrows()}
+    # B: 1 cell / 1 mm²; A: 1 cell / 0.5 mm² (artefact-corrected)
+    assert abs(dens["B"] - 1.0) < 1e-6
+    assert abs(dens["A"] - 2.0) < 0.1
+
+    uncorrected = calculate_cellular_densities(
+        cells_by_roi, tissue_by_roi, {k: 0.0 for k in tissue_by_roi},
+        1.0, 1.0, ["tumor"],
+    )
+    dens0 = {r["region"]: r["density"] for _, r in uncorrected.iterrows()}
+    assert dens0["B"] == dens["B"]  # only the overlapped class changed
+    assert dens0["A"] < dens["A"]

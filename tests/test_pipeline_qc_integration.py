@@ -123,3 +123,80 @@ def test_full_qc_pipeline_with_artefact_filter(tmp_path, monkeypatch):
 
     dens = pd.read_csv(tmp_path / "qc_cellular_densities.csv")
     assert dens["count"].sum() == res["n_cells"]
+
+
+def test_roi_densities_artefact_corrected(tmp_path, monkeypatch):
+    """ROI mode + artefact detection: the density denominator of the ROI
+    class overlapped by the artefact shrinks; the other class is untouched
+    (reference predict_wsi.py:1810-1824)."""
+    slide_path, gt = _make_slide_with_artefact(tmp_path)
+
+    import classpose_tpu.grandqc.artefact as artefact_mod
+    import classpose_tpu.grandqc.tissue as tissue_mod
+
+    def fake(model_path, classes=2, **kw):
+        return _tissue_fn if classes == 2 else _artefact_fn
+
+    monkeypatch.setattr(tissue_mod, "make_unetpp_predict_fn", fake)
+    monkeypatch.setattr(artefact_mod, "make_unetpp_predict_fn", fake)
+
+    def sq(x0, y0, x1, y1, name):
+        return {
+            "type": "Feature",
+            "geometry": {
+                "type": "Polygon",
+                "coordinates": [[[x0, y0], [x1, y0], [x1, y1], [x0, y1],
+                                 [x0, y0]]],
+            },
+            "properties": {"classification": {"name": name}},
+        }
+
+    # artefact blob lives at [100:500, 100:500] (slide coords); "Left"
+    # covers it, "Right" does not
+    roi = {"type": "FeatureCollection",
+           "features": [sq(0, 0, 1000, 1000, "Left"),
+                        sq(1100, 0, 2047, 1000, "Right")]}
+    roi_path = tmp_path / "roi.geojson"
+    roi_path.write_text(json.dumps(roi))
+
+    args = type("Args", (), dict(
+        model_config="conic",
+        slide_path=slide_path,
+        output_folder=str(tmp_path),
+        tile_size=1024, overlap=64, batch_size=4, precision="fp32",
+        tta=False,
+        roi_geojson=str(roi_path), output_type=["csv"],
+        tissue_detection_model_path="tissue.npz",
+        artefact_detection_model_path="artefact.npz",
+        filter_artefacts=False,
+        roi_class_priority=None, min_area=0, mpp=0.5, device=None,
+        inference_threads=2, tile_batch=2,
+    ))()
+    res = main(args, model_override=OracleModel())
+    assert res["n_cells"] > 0
+
+    import pandas as pd
+
+    dens = pd.read_csv(tmp_path / "qc_cellular_densities.csv")
+    assert set(dens["region"]) == {"Left", "Right"}
+    # recompute expected: density = count / ((roi_area - artefact∩roi) mpp²/1e6)
+    mpp = 0.5
+    by = {r: g for r, g in dens.groupby("region")}
+    left_counts = by["Left"]["count"].sum()
+    art_area = 400 * 400  # approximate artefact blob area in slide px
+    left_eff_mm2_corrected = (1000 * 1000 - art_area) * mpp * mpp / 1e6
+    left_eff_mm2_raw = (1000 * 1000) * mpp * mpp / 1e6
+    left_density = by["Left"]["density"].sum()
+    # corrected density must exceed the uncorrected one when cells exist
+    if left_counts > 0:
+        assert left_density > left_counts / left_eff_mm2_raw * 1.05
+        assert left_density == pytest.approx(
+            left_counts / left_eff_mm2_corrected, rel=0.25
+        )
+    # Right ROI untouched by the artefact: density == count / roi area
+    right_counts = by["Right"]["count"].sum()
+    right_mm2 = (2047 - 1100) * 1000 * mpp * mpp / 1e6
+    if right_counts > 0:
+        assert by["Right"]["density"].sum() == pytest.approx(
+            right_counts / right_mm2, rel=0.02
+        )

@@ -66,15 +66,18 @@ def _bilinear2(fields: jnp.ndarray, py: jnp.ndarray, px: jnp.ndarray):
 
 @partial(jax.jit, static_argnames=("niter",))
 def follow_flows(dP: jnp.ndarray, iscell: jnp.ndarray, niter: int = 200):
-    """Integrate all pixels along ``dP/5`` for ``niter`` Euler steps using
-    flow-map composition squaring.
+    """Integrate all pixels along ``dP/5`` for EXACTLY ``niter`` Euler
+    steps using binary flow-map composition.
 
-    One Euler step is the map f(x) = x + u(x) with u = dP·iscell/5. The
-    n-step trajectory is fⁿ; composing the map with itself k = ⌈log₂ n⌉
-    times yields f^(2^k) with k resampling passes instead of n sequential
-    gathers — the TPU-native formulation of cellpose's per-pixel Euler loop
-    (gathers are the expensive op on TPU; this runs 8 passes for the
-    default niter=200 instead of 200).
+    One Euler step is the map f(x) = x + u(x) with u = dP·iscell/5
+    (positions clipped to the image, as cellpose's ``steps2D_interp``
+    does). Power maps f^(2^k) are built by repeated self-composition and
+    the maps for the set bits of ``niter`` are composed into the result —
+    popcount+log₂ resampling passes instead of ``niter`` sequential
+    gathers (gathers are the expensive op on TPU; 9 passes for the default
+    niter=200 = 128+64+8). Unlike round-up-to-2^k composition this honors
+    the requested step count exactly (reference behavior models.py:120-159,
+    niter 200 at models.py:751-752).
 
     Args: dP (2, H, W) predicted flows; iscell (H, W) bool. Returns final
     positions (2, H, W) float32.
@@ -84,24 +87,31 @@ def follow_flows(dP: jnp.ndarray, iscell: jnp.ndarray, niter: int = 200):
     gy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
     gx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
 
-    # clip the one-step map to the image so compositions stay in bounds
-    u = jnp.stack(
-        [
-            jnp.clip(gy + u[0], 0.0, H - 1.0) - gy,
-            jnp.clip(gx + u[1], 0.0, W - 1.0) - gx,
-        ]
-    )
-
-    k = max(1, int(np.ceil(np.log2(max(niter, 2)))))
-    for _ in range(k):
-        sy, sx = _bilinear2(u, gy + u[0], gx + u[1])
-        u = jnp.stack(
+    def clip_disp(dy, dx):
+        return jnp.stack(
             [
-                jnp.clip(gy + u[0] + sy, 0.0, H - 1.0) - gy,
-                jnp.clip(gx + u[1] + sx, 0.0, W - 1.0) - gx,
+                jnp.clip(gy + dy, 0.0, H - 1.0) - gy,
+                jnp.clip(gx + dx, 0.0, W - 1.0) - gx,
             ]
         )
-    return jnp.stack([gy + u[0], gx + u[1]])
+
+    # clip the one-step map to the image so compositions stay in bounds
+    u = clip_disp(u[0], u[1])
+
+    niter = max(int(niter), 1)
+    r = None  # accumulated displacement for the set bits processed so far
+    k_max = niter.bit_length() - 1
+    for k in range(k_max + 1):
+        if (niter >> k) & 1:
+            if r is None:
+                r = u
+            else:
+                sy, sx = _bilinear2(u, gy + r[0], gx + r[1])
+                r = clip_disp(r[0] + sy, r[1] + sx)
+        if k < k_max:
+            sy, sx = _bilinear2(u, gy + u[0], gx + u[1])
+            u = clip_disp(u[0] + sy, u[1] + sx)
+    return jnp.stack([gy + r[0], gx + r[1]])
 
 
 @partial(jax.jit, static_argnames=("n_expand",))

@@ -119,3 +119,64 @@ def test_empty_input():
         np.full((64, 64), -6.0, np.float32),
     )
     assert pred.sum() == 0
+
+
+def test_follow_flows_exact_step_count():
+    """A constant flow field makes the step count directly observable:
+    after exactly niter steps the displacement is niter·u (the old
+    round-up-to-2^k composition gave 256·u for niter=200)."""
+    from classpose_tpu.dynamics.masks import follow_flows
+
+    H = W = 64
+    dP = np.zeros((2, H, W), np.float32)
+    dP[0] = 0.5  # u_y = 0.1/step after the /5
+    dP[1] = 0.25  # u_x = 0.05/step
+    iscell = np.ones((H, W), bool)
+    for niter in (1, 3, 37, 200):
+        p = np.asarray(follow_flows(jnp.asarray(dP), jnp.asarray(iscell),
+                                    niter=niter))
+        # probe a pixel far from the clipping boundary
+        assert p[0, 5, 5] == pytest.approx(5 + 0.1 * niter, abs=1e-3)
+        assert p[1, 5, 5] == pytest.approx(5 + 0.05 * niter, abs=1e-3)
+
+
+def test_follow_flows_matches_torch_euler_oracle():
+    """Mask-level agreement (per-instance IoU ≥ 0.99) between the binary
+    flow-map composition and a sequential torch Euler oracle on realistic
+    flow fields (VERDICT r1 item 5)."""
+    from tests.torch_ref import euler_oracle
+    from classpose_tpu.dynamics.masks import (
+        follow_flows,
+        get_masks_from_positions,
+    )
+
+    gt = make_disks(
+        shape=(160, 160),
+        centers=((32, 32), (64, 90), (100, 40), (128, 128), (40, 120)),
+        radius=14,
+    )
+    mu = np.asarray(masks_to_flows(gt))
+    dP = 5.0 * mu  # net outputs ≈ 5·unit flows (cellpose loss convention)
+    iscell = gt > 0
+
+    p_jax = np.asarray(
+        follow_flows(jnp.asarray(dP), jnp.asarray(iscell), niter=200)
+    )
+    p_ref = euler_oracle(dP, iscell, niter=200)
+
+    # identical clustering on both position fields isolates the Euler
+    # integration comparison
+    def cluster(p):
+        raw = np.asarray(
+            get_masks_from_positions(jnp.asarray(p), jnp.asarray(iscell))
+        )
+        ids, rem = np.unique(raw, return_inverse=True)
+        m = rem.reshape(raw.shape)
+        return m if ids[0] == 0 else m + 1
+
+    m_jax = cluster(p_jax)
+    m_ref = cluster(p_ref)
+    assert m_jax.max() == m_ref.max() == gt.max()
+    M = iou_matrix(m_ref, m_jax)
+    matched = M.max(axis=1)
+    assert (matched >= 0.99).all(), matched

@@ -235,3 +235,40 @@ class RefClassTransformer(nn.Module):
             )
             return torch.cat((x2, x1), 1)
         return x1
+
+
+def euler_oracle(dP, iscell, niter=200):
+    """Sequential bilinear Euler flow integration — the torch oracle for
+    ``classpose_tpu.dynamics.masks.follow_flows`` (cellpose
+    ``steps2D_interp`` semantics: exactly ``niter`` explicit steps, flows
+    bilinearly sampled at the current positions, positions clipped to the
+    image each step)."""
+    import numpy as np
+
+    H, W = iscell.shape
+    u = torch.from_numpy(
+        (np.asarray(dP, np.float32) * np.asarray(iscell)[None] / 5.0)
+        .astype(np.float32)
+    )
+    yy, xx = torch.meshgrid(
+        torch.arange(H, dtype=torch.float32),
+        torch.arange(W, dtype=torch.float32),
+        indexing="ij",
+    )
+    p = torch.stack([yy, xx])
+    fld = u.unsqueeze(0)  # (1, 2, H, W)
+    for _ in range(niter):
+        gx = p[1] / (W - 1) * 2 - 1
+        gy = p[0] / (H - 1) * 2 - 1
+        grid = torch.stack([gx, gy], dim=-1).unsqueeze(0)  # (1, H, W, 2)
+        s = torch.nn.functional.grid_sample(
+            fld, grid, mode="bilinear", padding_mode="border",
+            align_corners=True,
+        )[0]
+        p = torch.stack(
+            [
+                torch.clamp(p[0] + s[0], 0, H - 1),
+                torch.clamp(p[1] + s[1], 0, W - 1),
+            ]
+        )
+    return p.numpy()

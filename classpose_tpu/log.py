@@ -28,8 +28,17 @@ def _process_rank() -> int:
         except ValueError:
             return 0
     try:  # pragma: no cover - only in initialized multiprocess runtimes
-        import jax
+        import sys
 
+        jax = sys.modules.get("jax")
+        if jax is None:
+            return 0
+        # never initialize the XLA backend from a logger: that would break
+        # jax.distributed.initialize ordering for any module-level logger
+        from jax._src import xla_bridge
+
+        if not xla_bridge.backends_are_initialized():
+            return 0
         return jax.process_index()
     except Exception:
         return 0

@@ -43,7 +43,16 @@ def setup_distributed(
     (reference setup_distributed, distributed.py:93-136; torchrun-style
     env vars are honored: WORLD_SIZE/RANK/MASTER_ADDR/MASTER_PORT)."""
     world = int(os.getenv("WORLD_SIZE", num_processes or 1))
-    if world > 1 and jax.process_count() == 1:
+    # must not call jax.process_count() before initialize — it would
+    # initialize the XLA backend and make initialize() itself fail
+    already = False
+    try:
+        from jax._src.distributed import global_state
+
+        already = global_state.client is not None
+    except Exception:
+        already = jax.process_count() > 1
+    if world > 1 and not already:
         coordinator_address = coordinator_address or (
             f"{os.getenv('MASTER_ADDR', 'localhost')}:"
             f"{os.getenv('MASTER_PORT', '12355')}"
@@ -109,10 +118,53 @@ def broadcast_object(obj, src: int = 0):
     from jax.experimental import multihost_utils
 
     payload = pickle.dumps(obj) if jax.process_index() == src else b""
-    arr = np.frombuffer(payload.ljust(65536, b"\0"), np.uint8).copy()
+    # length-prefixed: one allgather for the size, one for the payload —
+    # arbitrary object sizes (a fixed buffer would truncate large configs)
+    lens = multihost_utils.process_allgather(
+        np.array([len(payload)], np.int64)
+    )
+    total = int(np.asarray(lens).reshape(jax.process_count(), -1)[src][0])
+    arr = np.zeros(max(total, 1), np.uint8)
+    if jax.process_index() == src:
+        arr[:total] = np.frombuffer(payload, np.uint8)
     gathered = multihost_utils.process_allgather(arr)
-    data = bytes(gathered[src]).rstrip(b"\0")
-    return pickle.loads(data)
+    return pickle.loads(bytes(np.asarray(gathered)[src][:total]))
+
+
+def allgather_object(obj) -> list:
+    """Gather one python object per process, ordered by rank (reference
+    ``all_gather_object`` used to collect per-rank RNG states before
+    checkpointing, train.py:274-281). Length-prefixed, any size."""
+    if jax.process_count() == 1:
+        return [obj]
+    import pickle
+
+    from jax.experimental import multihost_utils
+
+    payload = pickle.dumps(obj)
+    lens = np.asarray(
+        multihost_utils.process_allgather(
+            np.array([len(payload)], np.int64)
+        )
+    ).reshape(jax.process_count(), -1)[:, 0]
+    m = max(int(lens.max()), 1)
+    arr = np.zeros(m, np.uint8)
+    arr[: len(payload)] = np.frombuffer(payload, np.uint8)
+    g = np.asarray(multihost_utils.process_allgather(arr))
+    return [
+        pickle.loads(bytes(g[r][: int(lens[r])]))
+        for r in range(jax.process_count())
+    ]
+
+
+def barrier(name: str = "barrier") -> None:
+    """Block until every process reaches this point (used to keep
+    non-writing ranks from racing past a rank-0 checkpoint write)."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
 
 
 def unwrap_model(model):

@@ -200,6 +200,27 @@ def _make_optimizer(
     return split_tx(net_combined, agg_tx)
 
 
+def _gather_rng_states(host_rng: np.random.Generator) -> list:
+    """Collect every rank's host RNG state (reference _gather_rng_states,
+    train.py:274-281) so resume restores per-rank augmentation streams."""
+    from classpose_tpu.parallel.distributed import allgather_object
+
+    return allgather_object(host_rng.bit_generator.state)
+
+
+def _tree_to_host(tree):
+    """Materialize a (replicated) jax pytree as host numpy. Every leaf this
+    trainer checkpoints — params, log_var, opt_state, key — is replicated
+    (P()), so addressable shard 0 is the full value on every process."""
+
+    def leaf(x):
+        if isinstance(x, jax.Array):
+            return np.asarray(x.addressable_data(0))
+        return x
+
+    return jax.tree_util.tree_map(leaf, tree)
+
+
 def _save_checkpoint(
     path: Path,
     params,
@@ -212,41 +233,68 @@ def _save_checkpoint(
     test_losses,
     config_snapshot,
     host_rng: np.random.Generator | None,
+    rng_state_by_rank: list | None = None,
 ):
-    import orbax.checkpoint as ocp
+    """Write a full train-state checkpoint.
+
+    Multi-process semantics mirror the reference (train.py:274-311):
+    per-rank RNG states are gathered by the caller and rank 0 alone
+    writes, then everyone synchronizes — unconditional writes from every
+    process would race on the shared path. Orbax handles the single-process
+    state (its multihost save is collective, so the multi-process path
+    serializes the host-materialized tree directly instead)."""
+    from classpose_tpu.parallel.distributed import barrier, is_main_process
 
     path = Path(path).absolute()
-    ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(
-        str(path / "state"),
-        {
-            "params": params,
-            "log_var": log_var,
-            "opt_state": opt_state,
-            "key": key,
-        },
-        force=True,
-    )
-    meta = {
-        "epoch": int(epoch),
-        "best_val_loss": float(best_val_loss),
-        "train_losses": np.asarray(train_losses).tolist(),
-        "test_losses": np.asarray(test_losses).tolist(),
-        "config_snapshot": config_snapshot,
+    state = {
+        "params": params,
+        "log_var": log_var,
+        "opt_state": opt_state,
+        "key": key,
     }
-    if host_rng is not None:
-        meta["host_rng_state"] = json.loads(
-            json.dumps(host_rng.bit_generator.state)
-        )
-    (path / "meta.json").write_text(json.dumps(meta, default=str))
+    if is_main_process():
+        if jax.process_count() > 1:
+            import pickle
+
+            path.mkdir(parents=True, exist_ok=True)
+            with open(path / "state.pkl", "wb") as f:
+                pickle.dump(_tree_to_host(state), f)
+        else:
+            import orbax.checkpoint as ocp
+
+            ckptr = ocp.PyTreeCheckpointer()
+            ckptr.save(str(path / "state"), state, force=True)
+        meta = {
+            "epoch": int(epoch),
+            "best_val_loss": float(best_val_loss),
+            "train_losses": np.asarray(train_losses).tolist(),
+            "test_losses": np.asarray(test_losses).tolist(),
+            "config_snapshot": config_snapshot,
+        }
+        if rng_state_by_rank is not None:
+            meta["rng_state_by_rank"] = json.loads(
+                json.dumps(rng_state_by_rank)
+            )
+        if host_rng is not None:
+            meta["host_rng_state"] = json.loads(
+                json.dumps(host_rng.bit_generator.state)
+            )
+        (path / "meta.json").write_text(json.dumps(meta, default=str))
+    barrier("classpose_checkpoint")
 
 
 def _load_checkpoint(path: Path, template):
-    import orbax.checkpoint as ocp
-
     path = Path(path).absolute()
-    ckptr = ocp.PyTreeCheckpointer()
-    state = ckptr.restore(str(path / "state"), item=template)
+    if (path / "state.pkl").exists():
+        import pickle
+
+        with open(path / "state.pkl", "rb") as f:
+            state = pickle.load(f)
+    else:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        state = ckptr.restore(str(path / "state"), item=template)
     meta = json.loads((path / "meta.json").read_text())
     return state, meta
 
@@ -289,7 +337,11 @@ def train_class_seg(
     cfg = model.cfg
     n_classes = cfg.n_cell_classes
 
-    host_rng = np.random.default_rng(random_seed)
+    # per-rank host RNG (reference seeds seed+rank, train.py:434); the jax
+    # PRNG key stays identical on every process — single-controller SPMD
+    # requires all processes to trace the same program with the same
+    # replicated key
+    host_rng = np.random.default_rng(random_seed + jax.process_index())
     key = jax.random.PRNGKey(random_seed)
 
     if hasattr(train_dataset, "diameter_array"):
@@ -317,17 +369,22 @@ def train_class_seg(
     batch_sharding = NamedSharding(mesh, P("data"))
     replicated = NamedSharding(mesh, P())
 
+    world = jax.process_count()
+    if global_batch % world:
+        global_batch = int(world * np.ceil(global_batch / world))
+    per_rank_batch = global_batch // world
+
     LR = build_lr_schedule(learning_rate, n_epochs)
     sampler = DistributedEpochSampler(
         dataset_length=nimg,
         train_probs=train_probs,
         nimg_per_epoch=nimg_per_epoch,
-        batch_size=global_batch,
+        batch_size=per_rank_batch,
         rank=jax.process_index(),
-        num_replicas=jax.process_count(),
+        num_replicas=world,
         seed=random_seed,
     )
-    steps_per_epoch = max(1, len(sampler) // global_batch)
+    steps_per_epoch = max(1, len(sampler) // per_rank_batch)
     lr_by_step = np.repeat(LR, steps_per_epoch)
 
     tx = _make_optimizer(
@@ -375,7 +432,10 @@ def train_class_seg(
         train_losses[: len(saved_tl)] = saved_tl[:n_epochs]
         saved_vl = np.asarray(meta["test_losses"])
         test_losses[: len(saved_vl)] = saved_vl[:n_epochs]
-        if "host_rng_state" in meta:
+        rng_by_rank = meta.get("rng_state_by_rank")
+        if rng_by_rank and jax.process_index() < len(rng_by_rank):
+            host_rng.bit_generator.state = rng_by_rank[jax.process_index()]
+        elif "host_rng_state" in meta:
             host_rng.bit_generator.state = meta["host_rng_state"]
         if hasattr(train_dataset, "_rng"):
             train_dataset._rng = host_rng
@@ -430,25 +490,37 @@ def train_class_seg(
     def _should_validate(iepoch):
         return validate_every_epoch or iepoch == 5 or iepoch % 10 == 0
 
+    def _to_global(X_local):
+        """Each process contributes its per-rank slice of the global batch
+        (the jax-native form of DDP's per-rank batches; losses then reduce
+        globally inside the jitted step, so the logged sums are already
+        all-reduced — reference train.py:657-668)."""
+        if world == 1:
+            return jax.device_put(X_local, batch_sharding)
+        return jax.make_array_from_process_local_data(
+            batch_sharding, X_local
+        )
+
     for iepoch in range(start_epoch, n_epochs):
         sampler.set_epoch(iepoch)
         local = sampler.local_indices()
         sums = {"seg": 0.0, "ce": 0.0, "tversky": 0.0, "total": 0.0}
         count = 0
-        for s in range(0, len(local), global_batch):
-            idx = local[s : s + global_batch]
-            if len(idx) < global_batch:
+        for s in range(0, len(local), per_rank_batch):
+            idx = local[s : s + per_rank_batch]
+            if len(idx) < per_rank_batch:
                 break
             X, lbl = _collect(train_dataset, idx)
-            X = jax.device_put(X, batch_sharding)
-            lbl = jax.device_put(lbl, batch_sharding)
+            X = _to_global(X)
+            lbl = _to_global(lbl)
             params, log_var, opt_state, key, metrics = train_step(
                 params, log_var, opt_state, key, X, lbl,
             )
-            bs = X.shape[0]
-            count += bs
+            count += global_batch
+            # metrics are global-batch means (XLA reduces over the sharded
+            # batch axis), identical on every process
             for k in sums:
-                sums[k] += float(metrics[k]) * bs
+                sums[k] += float(metrics[k]) * global_batch
         train_losses[iepoch] = sums["total"] / max(count, 1)
 
         msg = (
@@ -468,13 +540,28 @@ def train_class_seg(
 
         if _should_validate(iepoch) and test_dataset is not None:
             vtotal, vcount = 0.0, 0
+            # each rank validates its contiguous shard on LOCAL devices
+            # (global params are host-materialized first — they are
+            # replicated, so shard 0 is the full value)
+            vparams, vlog_var = (
+                (params, log_var) if world == 1
+                else _tree_to_host((params, log_var))
+            )
             for i in val_sampler.indices():
                 x, l = test_dataset[int(i)]
                 vtotal += float(
-                    val_loss_fn(params, log_var, x[None], l[None])
+                    val_loss_fn(vparams, vlog_var, x[None], l[None])
                 )
                 vcount += 1
-            val = vtotal / max(vcount, 1)
+            # all-reduce the per-rank sums so every process logs (and
+            # gates checkpoint-best on) the same global validation loss
+            # (reference train.py:657-668)
+            from classpose_tpu.parallel.distributed import all_reduce_sum
+
+            reduced = all_reduce_sum(
+                np.array([vtotal, float(vcount)], np.float64)
+            )
+            val = float(reduced[0]) / max(float(reduced[1]), 1.0)
             test_losses[iepoch] = val
             train_logger.info(f"Epoch {iepoch}, Validation Loss: {val:.4f}")
             if val < best_val_loss:
@@ -482,24 +569,28 @@ def train_class_seg(
                 _save_checkpoint(
                     checkpoint_best, params, log_var, opt_state, key,
                     iepoch, best_val_loss, train_losses, test_losses,
-                    config_snapshot, host_rng,
+                    config_snapshot, host_rng, _gather_rng_states(host_rng),
                 )
 
         _save_checkpoint(
             checkpoint_last, params, log_var, opt_state, key, iepoch,
             best_val_loss, train_losses, test_losses, config_snapshot,
-            host_rng,
+            host_rng, _gather_rng_states(host_rng),
         )
         if save_each and iepoch % save_every == 0:
             _save_checkpoint(
                 model_dir / f"checkpoint_epoch_{iepoch}.train",
                 params, log_var, opt_state, key, iepoch, best_val_loss,
                 train_losses, test_losses, config_snapshot, host_rng,
+                _gather_rng_states(host_rng),
             )
 
     from classpose_tpu.nn.convert import save_params
+    from classpose_tpu.parallel.distributed import barrier, is_main_process
 
-    model.params = jax.device_get(params)
-    save_params(model.params, str(filename), cfg)
-    train_logger.info("saved final weights to %s", filename)
+    model.params = _tree_to_host(params)
+    if is_main_process():
+        save_params(model.params, str(filename), cfg)
+        train_logger.info("saved final weights to %s", filename)
+    barrier("classpose_final_weights")
     return str(filename), train_losses, test_losses

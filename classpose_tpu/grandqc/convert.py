@@ -7,13 +7,15 @@ checkpoints with a ``timm-efficientnet-b0`` encoder. This module converts:
 - the **encoder** 1:1 — the timm efficientnet-b0 naming
   (``encoder.conv_stem`` / ``encoder.bn1`` / ``encoder.blocks.{s}.{i}.*``)
   maps directly onto :class:`classpose_tpu.grandqc.nets.EfficientNetB0Encoder`;
-- the **decoder** is *not* weight-compatible: this framework uses the
-  paper-form UNet++ decoder rather than a replica of smp's internal block
-  graph, so decoder weights require fine-tuning after conversion (or use
-  ``strict=False`` to convert the encoder and randomly initialize the
-  decoder). Verifying an exact smp decoder mapping requires
-  segmentation_models_pytorch, which is not a dependency of this
-  framework.
+- the **decoder + segmentation head** 1:1 — the flax
+  :class:`~classpose_tpu.grandqc.nets.UnetPlusPlusDecoder` replicates
+  smp's UnetPlusPlusDecoder block graph and parameter layout
+  (``decoder.blocks.x_{depth}_{layer}.conv{1,2}.{0,1}``, attention=None),
+  so every tensor of a published checkpoint grafts directly. The
+  conversion tracks key consumption: any weight left unconsumed (other
+  than BatchNorm ``num_batches_tracked`` counters, which have no
+  inference effect) is reported, and ``strict=True`` turns that into an
+  error.
 """
 
 from __future__ import annotations
@@ -90,37 +92,144 @@ def convert_efficientnet_b0_encoder(
     return p
 
 
+class _TrackingDict(dict):
+    """State-dict wrapper recording which keys the converters consumed."""
+
+    def __init__(self, sd):
+        super().__init__(sd)
+        self.accessed: set[str] = set()
+
+    def __getitem__(self, key):
+        self.accessed.add(key)
+        return super().__getitem__(key)
+
+    def __contains__(self, key):
+        hit = super().__contains__(key)
+        if hit:
+            self.accessed.add(key)
+        return hit
+
+
+def _decoder_block_names(decoder_channels=(256, 128, 64, 32, 16)):
+    depth = len(decoder_channels) - 1
+    names = [
+        f"x_{d}_{d + layer}"
+        for layer in range(depth)
+        for d in range(depth - layer)
+    ]
+    names.append(f"x_0_{depth}")
+    return names
+
+
+def convert_unetpp_decoder(sd: dict, prefix: str = "decoder.") -> dict:
+    """Map smp UnetPlusPlusDecoder weights
+    (``decoder.blocks.x_{d}_{l}.conv{1,2}.{0:conv,1:bn}``) onto the flax
+    :class:`~classpose_tpu.grandqc.nets.UnetPlusPlusDecoder` tree."""
+    p: dict = {}
+    for name in _decoder_block_names():
+        t = f"{prefix}blocks.{name}"
+        p[name] = {
+            "conv1_0": _conv(sd, f"{t}.conv1.0"),
+            "conv1_1": _bn(sd, f"{t}.conv1.1"),
+            "conv2_0": _conv(sd, f"{t}.conv2.0"),
+            "conv2_1": _bn(sd, f"{t}.conv2.1"),
+        }
+    return p
+
+
+def _check_tree_shapes(converted: dict, expected: dict, where: str):
+    import jax
+
+    exp = {
+        "/".join(str(k.key) for k in path): leaf.shape
+        for path, leaf in
+        jax.tree_util.tree_flatten_with_path(expected)[0]
+    }
+    got = {
+        "/".join(str(k.key) for k in path): np.asarray(leaf).shape
+        for path, leaf in
+        jax.tree_util.tree_flatten_with_path(converted)[0]
+    }
+    if set(exp) != set(got):
+        raise ValueError(
+            f"{where}: converted tree structure mismatch: "
+            f"{sorted(set(exp) ^ set(got))[:10]}"
+        )
+    for k in exp:
+        if tuple(exp[k]) != tuple(got[k]):
+            raise ValueError(
+                f"{where}: shape mismatch at {k}: expected {exp[k]}, "
+                f"got {got[k]}"
+            )
+
+
 def convert_grandqc_checkpoint(
     sd: dict[str, np.ndarray], classes: int, strict: bool = False
 ):
     """Convert an smp UnetPlusPlus(timm-efficientnet-b0) state dict.
 
-    Returns (params, converted_fraction). With ``strict=True`` a
-    non-convertible decoder raises; otherwise the decoder/head are randomly
-    initialized and the encoder weights are grafted in.
+    Returns (params, converted_fraction). Encoder, decoder and
+    segmentation head all graft 1:1; a checkpoint without decoder keys
+    (bare timm encoder) grafts the encoder and leaves the decoder/head
+    randomly initialized. ``strict=True`` errors if any checkpoint tensor
+    other than BatchNorm step counters goes unconsumed.
     """
     import jax
     import numpy as np_
 
     from classpose_tpu.grandqc.nets import UnetPlusPlus, UnetPlusPlusConfig
 
-    enc = convert_efficientnet_b0_encoder(sd)
-    if strict and any(k.startswith("decoder.") for k in sd):
-        raise NotImplementedError(
-            "smp UNet++ decoder weights are not layout-compatible with the "
-            "paper-form decoder; convert with strict=False (encoder graft + "
-            "decoder fine-tune)."
-        )
+    tracked = _TrackingDict(sd)
+    enc = convert_efficientnet_b0_encoder(tracked)
+    has_decoder = any(k.startswith("decoder.") for k in sd)
+
     cfg = UnetPlusPlusConfig(classes=classes)
     net = UnetPlusPlus(cfg)
     params = net.init(
         jax.random.PRNGKey(0), np_.zeros((1, 3, 64, 64), np_.float32)
     )
+    _check_tree_shapes(enc, params["params"]["encoder"], "encoder")
     params["params"]["encoder"] = enc
-    n_enc = len(jax.tree_util.tree_leaves(enc))
+    n_grafted = len(jax.tree_util.tree_leaves(enc))
+
+    if has_decoder:
+        try:
+            dec = convert_unetpp_decoder(tracked)
+        except KeyError as e:
+            raise ValueError(
+                f"checkpoint has decoder.* keys but not the full smp "
+                f"UnetPlusPlus decoder layout (missing {e})"
+            ) from e
+        _check_tree_shapes(dec, params["params"]["decoder"], "decoder")
+        params["params"]["decoder"] = dec
+        head = {
+            "kernel": _conv_t2f(tracked["segmentation_head.0.weight"]),
+            "bias": tracked["segmentation_head.0.bias"],
+        }
+        _check_tree_shapes(
+            head, params["params"]["segmentation_head"], "segmentation_head"
+        )
+        params["params"]["segmentation_head"] = head
+        n_grafted += len(jax.tree_util.tree_leaves(dec)) + 2
+
+    leftovers = [
+        k for k in sd
+        if k not in tracked.accessed
+        and not k.endswith("num_batches_tracked")
+    ]
+    if leftovers:
+        msg = (
+            f"GrandQC conversion left {len(leftovers)} checkpoint tensors "
+            f"unconsumed: {leftovers[:8]}"
+        )
+        if strict:
+            raise ValueError(msg)
+        logger.warning(msg)
+
     n_all = len(jax.tree_util.tree_leaves(params))
     logger.info(
-        "GrandQC conversion: grafted %d/%d tensors (encoder); decoder "
-        "requires fine-tuning", n_enc, n_all,
+        "GrandQC conversion: grafted %d/%d tensors (%s)", n_grafted, n_all,
+        "encoder+decoder+head" if has_decoder else
+        "encoder only — decoder randomly initialized",
     )
-    return params, n_enc / n_all
+    return params, n_grafted / n_all

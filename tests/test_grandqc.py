@@ -47,8 +47,7 @@ def test_unetpp_shapes():
     from classpose_tpu.grandqc.nets import UnetPlusPlus, UnetPlusPlusConfig
     from classpose_tpu.grandqc.nets import B0_OUT_CHANNELS
 
-    cfg = UnetPlusPlusConfig(classes=2, row_channels=(4, 8, 16, 32),
-                             final_channels=4)
+    cfg = UnetPlusPlusConfig(classes=2, decoder_channels=(16, 12, 8, 6, 4))
     net = UnetPlusPlus(cfg)
     x = np.zeros((1, 3, 64, 64), np.float32)
     params = net.init(jax.random.PRNGKey(0), x)

@@ -101,10 +101,96 @@ def test_full_checkpoint_graft():
     assert y.shape == (1, 2, 64, 64)
 
 
-def test_strict_mode_rejects_decoder():
+def test_incomplete_decoder_rejected():
+    """decoder.* keys without the full smp layout must error loudly, not
+    silently graft a partial decoder."""
     sd = synthetic_timm_sd()
     sd["decoder.blocks.x_0_0.conv1.0.weight"] = np.zeros(
         (16, 16, 3, 3), np.float32
     )
-    with pytest.raises(NotImplementedError, match="decoder"):
+    with pytest.raises(ValueError, match="decoder"):
         convert_grandqc_checkpoint(sd, classes=2, strict=True)
+
+
+def synthetic_smp_sd(classes=2):
+    """Full smp UnetPlusPlus(timm-efficientnet-b0) state dict (random
+    weights, non-trivial BN stats), built from the torch replica."""
+    import torch
+
+    from tests.torch_ref import RefSmpUnetPlusPlusTail, randomize_bn_stats
+
+    torch.manual_seed(0)
+    tail = RefSmpUnetPlusPlusTail(classes=classes)
+    randomize_bn_stats(tail, seed=1)
+    sd = {k: v.numpy() for k, v in tail.state_dict().items()}
+    sd.update(synthetic_timm_sd())
+    return sd, tail
+
+
+def test_full_smp_graft_consumes_every_key():
+    """Every tensor of a full smp checkpoint must graft (VERDICT r1
+    item 3): converted fraction 1.0, strict mode clean, and an alien key
+    makes strict mode raise."""
+    sd, _ = synthetic_smp_sd()
+    params, frac = convert_grandqc_checkpoint(sd, classes=2, strict=True)
+    assert frac == 1.0
+    from classpose_tpu.grandqc.nets import UnetPlusPlus, UnetPlusPlusConfig
+
+    net = UnetPlusPlus(UnetPlusPlusConfig(classes=2))
+    y = net.apply(params, np.zeros((1, 3, 64, 64), np.float32))
+    assert y.shape == (1, 2, 64, 64)
+    assert np.isfinite(np.asarray(y)).all()
+
+    sd["decoder.blocks.x_9_9.conv1.0.weight"] = np.zeros(
+        (1, 1, 3, 3), np.float32
+    )
+    with pytest.raises(ValueError, match="unconsumed"):
+        convert_grandqc_checkpoint(sd, classes=2, strict=True)
+
+
+def test_decoder_forward_parity_vs_torch_smp_replica():
+    """fp32 logit parity of the flax UNet++ decoder+head vs the torch
+    replica of smp's decoder math on a random feature pyramid."""
+    import torch
+
+    from classpose_tpu.grandqc.convert import convert_unetpp_decoder
+    from classpose_tpu.grandqc.nets import (
+        UnetPlusPlusConfig,
+        UnetPlusPlusDecoder,
+    )
+    from classpose_tpu.nn.convert import _conv_t2f
+    from tests.torch_ref import RefSmpUnetPlusPlusTail, randomize_bn_stats
+
+    torch.manual_seed(3)
+    tail = RefSmpUnetPlusPlusTail(classes=5)
+    randomize_bn_stats(tail, seed=4)
+    tail.eval()
+
+    rng = np.random.default_rng(0)
+    shapes = [(3, 64, 64), (32, 32, 32), (24, 16, 16), (40, 8, 8),
+              (112, 4, 4), (320, 2, 2)]
+    feats_nchw = [
+        rng.normal(size=(1,) + s).astype(np.float32) for s in shapes
+    ]
+    with torch.no_grad():
+        ref = tail([torch.from_numpy(f) for f in feats_nchw]).numpy()
+
+    sd = {k: v.numpy() for k, v in tail.state_dict().items()}
+    dec_params = convert_unetpp_decoder(sd)
+    cfg = UnetPlusPlusConfig(classes=5)
+    dec = UnetPlusPlusDecoder(cfg)
+    feats_nhwc = [np.transpose(f, (0, 2, 3, 1)) for f in feats_nchw]
+    out = dec.apply({"params": dec_params}, feats_nhwc)
+    # head: 3x3 conv in numpy via jax for the final comparison
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    head = nn.Conv(5, (3, 3), padding=1, name="segmentation_head")
+    hp = {
+        "kernel": _conv_t2f(sd["segmentation_head.0.weight"]),
+        "bias": sd["segmentation_head.0.bias"],
+    }
+    logits = head.apply({"params": hp}, out)
+    got = np.transpose(np.asarray(logits), (0, 3, 1, 2))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)

@@ -272,3 +272,120 @@ def euler_oracle(dP, iscell, niter=200):
             ]
         )
     return p.numpy()
+
+
+# ---------------------------------------------------------------- GrandQC
+# smp UnetPlusPlus decoder replica (attention=None) with smp's state-dict
+# naming (decoder.blocks.x_{depth}_{layer}.conv{1,2}.{0,1}) — the oracle
+# for the GrandQC Zenodo checkpoint graft (reference builds
+# smp.UnetPlusPlus(timm-efficientnet-b0), wsi_tissue_detection.py:86-95).
+
+
+class RefSmpDecoderBlock(nn.Module):
+    def __init__(self, in_ch, skip_ch, out_ch):
+        super().__init__()
+        self.conv1 = nn.Sequential(
+            nn.Conv2d(in_ch + skip_ch, out_ch, 3, padding=1, bias=False),
+            nn.BatchNorm2d(out_ch),
+            nn.ReLU(inplace=True),
+        )
+        self.conv2 = nn.Sequential(
+            nn.Conv2d(out_ch, out_ch, 3, padding=1, bias=False),
+            nn.BatchNorm2d(out_ch),
+            nn.ReLU(inplace=True),
+        )
+
+    def forward(self, x, skip=None):
+        x = F.interpolate(x, scale_factor=2, mode="nearest")
+        if skip is not None:
+            x = torch.cat([x, skip], dim=1)
+        return self.conv2(self.conv1(x))
+
+
+class _RefSmpUnetPlusPlusDecoder(nn.Module):
+    """smp UnetPlusPlusDecoder channel spec + the (unique) dataflow it
+    admits. Consumes the 6-feature encoder pyramid."""
+
+    def __init__(self, encoder_channels=(3, 32, 24, 40, 112, 320),
+                 decoder_channels=(256, 128, 64, 32, 16)):
+        super().__init__()
+        ec = list(encoder_channels[1:])[::-1]
+        head_ch = ec[0]
+        in_channels = [head_ch] + list(decoder_channels[:-1])
+        skip_channels = ec[1:] + [0]
+        out_channels = list(decoder_channels)
+        self.depth = len(in_channels) - 1
+        blocks = {}
+        for L in range(self.depth):
+            for d in range(L + 1):
+                if d == 0:
+                    in_ch = in_channels[L]
+                    skip_ch = skip_channels[L] * (L + 1)
+                    out_ch = out_channels[L]
+                else:
+                    out_ch = skip_channels[L]
+                    skip_ch = skip_channels[L] * (L + 1 - d)
+                    in_ch = skip_channels[L - 1]
+                blocks[f"x_{d}_{L}"] = RefSmpDecoderBlock(
+                    in_ch, skip_ch, out_ch
+                )
+        blocks[f"x_0_{self.depth}"] = RefSmpDecoderBlock(
+            in_channels[-1], 0, out_channels[-1]
+        )
+        self.blocks = nn.ModuleDict(blocks)
+
+    def forward(self, feats):
+        features = list(feats[1:])[::-1]
+        dense = {}
+        for layer in range(self.depth):
+            for d in range(self.depth - layer):
+                L = d + layer
+                if layer == 0:
+                    dense[(d, L)] = self.blocks[f"x_{d}_{L}"](
+                        features[d], features[d + 1]
+                    )
+                else:
+                    skip = torch.cat(
+                        [dense[(i, L)] for i in range(d + 1, L + 1)]
+                        + [features[L + 1]],
+                        dim=1,
+                    )
+                    dense[(d, L)] = self.blocks[f"x_{d}_{L}"](
+                        dense[(d, L - 1)], skip
+                    )
+        return self.blocks[f"x_0_{self.depth}"](dense[(0, self.depth - 1)])
+
+
+class RefSmpUnetPlusPlusTail(nn.Module):
+    """decoder + segmentation head with smp's exact state-dict names."""
+
+    def __init__(self, classes=2, encoder_channels=(3, 32, 24, 40, 112, 320),
+                 decoder_channels=(256, 128, 64, 32, 16)):
+        super().__init__()
+        self.decoder = _RefSmpUnetPlusPlusDecoder(
+            encoder_channels, decoder_channels
+        )
+        self.segmentation_head = nn.Sequential(
+            nn.Conv2d(decoder_channels[-1], classes, 3, padding=1)
+        )
+
+    def forward(self, feats):
+        return self.segmentation_head(self.decoder(feats))
+
+
+def randomize_bn_stats(module: nn.Module, seed: int = 0) -> None:
+    """Give every BatchNorm non-trivial running statistics so parity tests
+    exercise the eps/statistics math, not just the conv kernels."""
+    g = torch.Generator().manual_seed(seed)
+    for m in module.modules():
+        if isinstance(m, nn.BatchNorm2d):
+            m.running_mean.copy_(
+                torch.randn(m.running_mean.shape, generator=g) * 0.2
+            )
+            m.running_var.copy_(
+                torch.rand(m.running_var.shape, generator=g) * 2 + 0.5
+            )
+            m.weight.data.copy_(
+                torch.randn(m.weight.shape, generator=g) * 0.3 + 1
+            )
+            m.bias.data.copy_(torch.randn(m.bias.shape, generator=g) * 0.2)

@@ -31,24 +31,77 @@ def he_like_image(seed=0, chw=True):
 
 
 def test_hed_transform_changes_image_and_preserves_shape():
-    img = he_like_image()
+    img = he_like_image().astype(np.uint8)
     out = HEDTransform(seed=0).transform(img)
     assert out.shape == img.shape
-    assert not np.allclose(out, img)
-    assert out.min() >= -1  # stays near original range
-    assert np.isfinite(out).all()
+    assert out.dtype == np.uint8
+    assert not np.array_equal(out, img)
 
 
 def test_hed_transform_skips_background():
-    white = np.full((3, 64, 64), 250.0, np.float32)
+    white = np.full((3, 64, 64), 250, np.uint8)  # mean 0.98 > cutoff hi
     out = HEDTransform(seed=0).transform(white)
-    np.testing.assert_array_equal(out, white)  # cutoff skipped
+    np.testing.assert_array_equal(out, white)
 
 
 def test_hed_handles_normalized_negatives():
-    img = he_like_image() / 255.0 - 0.2  # normalized-ish with negatives
+    img = he_like_image() / 255.0 - 0.2  # cellpose-normalized w/ negatives
     out = HEDTransform(seed=1).transform(img)
     assert np.isfinite(out).all()
+    assert not np.allclose(out, img)
+
+
+def _reference_hed_port(patch, sigma_ranges, bias_ranges, cutoff_range,
+                        seed):
+    """Independent numpy port of the reference HEDTransform semantics
+    (transforms/hed.py:64-301): -log(rgb+shift) OD round trip with shift
+    bookkeeping, rescale_intensity(in_range=(-1,1)) == clip to [-1,1]."""
+    rgb_from_hed = np.array(
+        [[0.65, 0.70, 0.29], [0.07, 0.99, 0.11], [0.27, 0.57, 0.78]],
+        np.float32,
+    )
+    hed_from_rgb = np.linalg.inv(rgb_from_hed).astype(np.float32)
+    rng = np.random.default_rng(seed)
+    patch = np.asarray(patch)
+    mean = float(patch.mean())
+    was_uint8 = patch.dtype == np.uint8
+    if was_uint8:
+        patch = patch / 255.0
+        mean /= 255.0
+    if not (cutoff_range[0] <= mean <= cutoff_range[1]):
+        return patch if not was_uint8 else (patch * 255).astype(np.uint8)
+    img = np.transpose(patch, (1, 2, 0)).astype(np.float32)
+    shift = float(img.min())
+    shift = abs(shift) + 1.0 if shift < 0 else 1.0
+    hed = (-np.log(img + np.float32(shift))).reshape(-1, 3) @ hed_from_rgb
+    hed = hed.reshape(img.shape)
+    sigmas = [rng.uniform(*r) for r in sigma_ranges]
+    biases = [rng.uniform(*r) for r in bias_ranges]
+    for i in range(3):
+        hed[:, :, i] = hed[:, :, i] * (1.0 + sigmas[i]) + biases[i]
+    rgb = np.exp(-hed.reshape(-1, 3) @ rgb_from_hed).reshape(img.shape)
+    rgb = np.clip(np.clip(rgb - np.float32(shift), -1, 1), 0, 1)
+    out = np.transpose(rgb, (2, 0, 1))
+    return (out * 255).astype(np.uint8) if was_uint8 else out
+
+
+@pytest.mark.parametrize("as_uint8", [True, False])
+def test_hed_matches_reference_port_seed_exact(as_uint8):
+    """Same seed → numerically identical output (≤1e-5) to an independent
+    port of the reference transform (VERDICT r1 item 10)."""
+    img = he_like_image(seed=3)
+    img = img.astype(np.uint8) if as_uint8 else (img / 255.0) - 0.3
+    ranges = [(-0.2, 0.2), (-0.1, 0.1), (-0.25, 0.25)]
+    t = HEDTransform(sigma_ranges=ranges, bias_ranges=ranges,
+                     cutoff_range=(0.1, 0.9), seed=11)
+    got = t.transform(img.copy())
+    want = _reference_hed_port(img.copy(), ranges, ranges, (0.1, 0.9),
+                               seed=11)
+    assert got.dtype == want.dtype
+    np.testing.assert_allclose(
+        np.asarray(got, np.float64), np.asarray(want, np.float64),
+        atol=1e-5,
+    )
 
 
 def test_he_staining_transform():
@@ -79,9 +132,11 @@ def test_stardist_pipeline_and_configs():
     aug = create_stardist_augmentation("enhanced", seed=0)
     out = aug.transform(img)
     assert out.shape == img.shape and np.isfinite(out).all()
+    # HED fires on uint8 (or ~[0,1]) data — reference cutoff semantics
+    img8 = img.astype(np.uint8)
     aug2 = StarDistAugmentation("hed_only", seed=0)
-    out2 = aug2.transform(img)
-    assert not np.allclose(out2, img)
+    out2 = aug2.transform(img8)
+    assert not np.array_equal(out2, img8)
 
 
 def test_hed_rgb_roundtrip():

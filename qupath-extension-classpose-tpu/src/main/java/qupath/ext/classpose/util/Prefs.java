@@ -25,4 +25,20 @@ public final class Prefs {
     public static void put(String key, String value) {
         PREFS.put(key, value);
     }
+
+    public static boolean getBoolean(String key, boolean fallback) {
+        return PREFS.getBoolean(key, fallback);
+    }
+
+    public static void putBoolean(String key, boolean value) {
+        PREFS.putBoolean(key, value);
+    }
+
+    public static int getInt(String key, int fallback) {
+        return PREFS.getInt(key, fallback);
+    }
+
+    public static void putInt(String key, int value) {
+        PREFS.putInt(key, value);
+    }
 }

@@ -39,9 +39,12 @@ def main():
 
     rng = np.random.default_rng(0)
     TILE_BATCH = 4  # pipeline --tile_batch 4: one device program per batch
+    # uint8 tiles, as the slide readers produce them — the batched path
+    # transfers them as-is and converts on device (4x less host->device
+    # traffic over the tunnel)
     tiles = rng.uniform(
         0, 255, size=(TILE_BATCH, 1024, 1024, 3)
-    ).astype(np.float32)
+    ).astype(np.uint8)
 
     def run_once():
         # default-fidelity pipeline settings (DeviceWorker batched path)

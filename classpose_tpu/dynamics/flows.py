@@ -67,12 +67,13 @@ _SHIFTS9 = [
 ]
 
 
-@partial(jax.jit, static_argnames=("niter",))
-def _diffuse_and_grad(
-    masks: jnp.ndarray, center_map: jnp.ndarray, niter: int
+def _diffuse_and_grad_dyn(
+    masks: jnp.ndarray, center_map: jnp.ndarray, niter
 ) -> jnp.ndarray:
-    """Device kernel: masked heat diffusion + normalized log-gradient.
-    Shapes depend only on (H, W, niter)."""
+    """Like :func:`_diffuse_and_grad` but ``niter`` may be a traced scalar
+    (lowered to a while loop) — used by the fused batched-eval program
+    where the diffusion horizon is derived from instance extents on
+    device."""
     H, W = masks.shape
     ids = masks.astype(jnp.int32)
     ids_p = jnp.pad(ids, 1)
@@ -101,6 +102,15 @@ def _diffuse_and_grad(
     mag = jnp.sqrt(dy**2 + dx**2)
     mu = jnp.stack([dy, dx]) / jnp.maximum(mag, 1e-20)
     return jnp.where(fg[None], mu, 0.0).astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("niter",))
+def _diffuse_and_grad(
+    masks: jnp.ndarray, center_map: jnp.ndarray, niter: int
+) -> jnp.ndarray:
+    """Device kernel: masked heat diffusion + normalized log-gradient.
+    Shapes depend only on (H, W, niter)."""
+    return _diffuse_and_grad_dyn(masks, center_map, niter)
 
 
 def masks_to_flows(

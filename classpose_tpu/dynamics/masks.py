@@ -165,6 +165,97 @@ def get_masks_from_positions(
     return jnp.where(iscell, masks, 0)
 
 
+def qc_filter_masks(
+    raw: jnp.ndarray,
+    dP: jnp.ndarray,
+    flow_threshold: float = 0.4,
+    max_size_fraction: float = 0.4,
+) -> jnp.ndarray:
+    """Device-side max-size filter + flow-error QC on RAW (non-dense)
+    instance labels — the fully-fused form of the host path in
+    :func:`compute_masks` (cellpose ``remove_bad_flow_masks`` semantics).
+
+    Per-instance statistics are scatter reductions over the flat label
+    array (labels are flattened seed indices, so bins span H·W+2), which
+    keeps every shape static regardless of the instance count:
+
+    1. instances covering more than ``max_size_fraction``·H·W pixels are
+       removed;
+    2. the diffusion horizon is derived from the largest surviving
+       instance's bbox extent with the same bucketing as the host path
+       (``bucket(min(max(2·ext, 40), 400), 40)``) as a traced scalar — the
+       loop lowers to a while, so no recompiles;
+    3. each instance's center is its in-mask pixel nearest the centroid
+       (ties broken by lowest flat index, matching
+       ``instance_center_map``);
+    4. flows recomputed by masked heat diffusion; instances whose mean
+       squared error vs ``dP/5`` exceeds ``flow_threshold`` are removed.
+
+    Returns (H, W) int32 raw labels with failing instances zeroed —
+    densify on host. Designed to run inside the batched-eval program so
+    only small int outputs cross the (slow) host↔device link.
+    """
+    from classpose_tpu.dynamics.flows import _diffuse_and_grad_dyn
+
+    H, W = raw.shape
+    HW = H * W
+    nb = HW + 2  # raw ids are flattened seed indices + 1
+    big = jnp.float32(1e9)
+    ids = raw.ravel().astype(jnp.int32)
+    fg = ids > 0
+    fgf = fg.astype(jnp.float32)
+    n = jnp.zeros(nb, jnp.float32).at[ids].add(fgf)
+
+    if max_size_fraction is not None and max_size_fraction > 0:
+        too_big = n > max_size_fraction * HW
+        ids = jnp.where(fg & ~too_big[ids], ids, 0)
+        fg = ids > 0
+        fgf = fg.astype(jnp.float32)
+        n = jnp.zeros(nb, jnp.float32).at[ids].add(fgf)
+
+    if flow_threshold is None or flow_threshold <= 0:
+        return ids.reshape(H, W)
+
+    idx = jnp.arange(HW, dtype=jnp.int32)
+    yy = (idx // W).astype(jnp.float32)
+    xx = (idx % W).astype(jnp.float32)
+
+    # bbox extents → diffusion horizon (host formula, traced)
+    ymin = jnp.full(nb, big).at[ids].min(jnp.where(fg, yy, big))
+    ymax = jnp.full(nb, -big).at[ids].max(jnp.where(fg, yy, -big))
+    xmin = jnp.full(nb, big).at[ids].min(jnp.where(fg, xx, big))
+    xmax = jnp.full(nb, -big).at[ids].max(jnp.where(fg, xx, -big))
+    present = (n > 0).at[0].set(False)
+    ext = jnp.where(
+        present, jnp.maximum(ymax - ymin, xmax - xmin) + 1.0, 0.0
+    )
+    niter_qc = jnp.clip(2.0 * jnp.maximum(jnp.max(ext), 1.0), 40.0, 400.0)
+    niter_qc = (40.0 * jnp.ceil(niter_qc / 40.0)).astype(jnp.int32)
+
+    # centers: nearest in-mask pixel to the centroid, lowest index on ties
+    sy = jnp.zeros(nb, jnp.float32).at[ids].add(yy * fgf)
+    sx = jnp.zeros(nb, jnp.float32).at[ids].add(xx * fgf)
+    cy = sy / jnp.maximum(n, 1.0)
+    cx = sx / jnp.maximum(n, 1.0)
+    d = jnp.where(fg, (yy - cy[ids]) ** 2 + (xx - cx[ids]) ** 2, big)
+    dmin = jnp.full(nb, big).at[ids].min(d)
+    cand = fg & (d <= dmin[ids])
+    idxmin = (
+        jnp.full(nb, HW + 1, jnp.int32)
+        .at[jnp.where(cand, ids, 0)]
+        .min(jnp.where(cand, idx, HW + 1))
+    )
+    center_map = (cand & (idx == idxmin[ids])).reshape(H, W)
+
+    mu = _diffuse_and_grad_dyn(
+        ids.reshape(H, W), center_map.astype(jnp.float32), niter_qc
+    )
+    err_map = ((mu - dP.astype(jnp.float32) / 5.0) ** 2).sum(axis=0).ravel()
+    s = jnp.zeros(nb, jnp.float32).at[ids].add(err_map * fgf)
+    bad = (s / jnp.maximum(n, 1.0) > flow_threshold).at[0].set(False)
+    return jnp.where(fg & ~bad[ids], ids, 0).reshape(H, W)
+
+
 def flow_errors(masks, dP, max_id: int | None = None,
                 niter: int | None = None, device=None):
     """Per-instance mean squared error between flows recomputed from the

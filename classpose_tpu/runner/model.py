@@ -81,6 +81,25 @@ def convert_image_stack(x: np.ndarray) -> np.ndarray:
     return np.stack([convert_image(p) for p in x])
 
 
+def compute_class_masks_from_pixels(
+    masks: np.ndarray, pixel_cls: np.ndarray, n_classes: int
+) -> np.ndarray:
+    """Majority vote from a precomputed pixelwise class-argmax map —
+    the device computes the argmax (so only an int8 map crosses the
+    host↔device link instead of full logits); the vote itself is the same
+    bincount over the combined (instance, class) index."""
+    inst = masks.ravel()
+    cls = pixel_cls.ravel().astype(np.int64)
+    max_inst = int(inst.max())
+    valid = inst > 0
+    idx = inst[valid].astype(np.int64) * n_classes + cls[valid]
+    counts = np.bincount(idx, minlength=(max_inst + 1) * n_classes)
+    counts = counts.reshape(max_inst + 1, n_classes)
+    major = counts.argmax(axis=1)
+    major[0] = 0
+    return major[masks]
+
+
 def compute_class_masks(
     masks: np.ndarray, y_class: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -89,17 +108,10 @@ def compute_class_masks(
     (instance, class) index."""
     squeezed = np.squeeze(y_class)
     pixel_cls = squeezed.argmax(axis=0)
-    inst = masks.ravel()
-    cls = pixel_cls.ravel()
-    max_inst = int(inst.max())
     n_classes = int(squeezed.shape[0])
-    valid = inst > 0
-    idx = inst[valid].astype(np.int64) * n_classes + cls[valid]
-    counts = np.bincount(idx, minlength=(max_inst + 1) * n_classes)
-    counts = counts.reshape(max_inst + 1, n_classes)
-    major = counts.argmax(axis=1)
-    major[0] = 0
-    class_masks = major[masks]
+    class_masks = compute_class_masks_from_pixels(
+        masks, pixel_cls, n_classes
+    )
     return class_masks, np.unique(masks)
 
 
@@ -620,8 +632,18 @@ class ClassposeModel:
         would skew nothing but waste identical compute) and sharded on the
         leading axis; per-tile programs are independent along B, so the
         partitioned run is bit-identical to the single-device one.
+
+        Default fidelity (qc_downsample=1) runs the FULLY FUSED program:
+        normalization, tiled forward, blending, Euler integration, seed
+        clustering, max-size filter and flow-error QC all on device, with
+        only int32 raw masks + an int8 class-argmax map crossing the
+        host↔device link (~8× less transfer than shipping logits + flows —
+        the link, not compute, dominated the previous profile). uint8 tiles
+        are transferred as uint8 and converted on device.
         """
-        tiles = np.ascontiguousarray(tiles, np.float32)
+        tiles = np.ascontiguousarray(tiles)
+        if tiles.dtype != np.uint8:
+            tiles = np.ascontiguousarray(tiles, np.float32)
         B0 = tiles.shape[0]
         n_dev = int(self._mesh.devices.size) if self._mesh is not None else 1
         if n_dev > 1 and B0 % n_dev:
@@ -629,8 +651,16 @@ class ClassposeModel:
                 [tiles, np.repeat(tiles[-1:], (-B0) % n_dev, axis=0)]
             )
         B, S = tiles.shape[0], tiles.shape[1]
+
+        if qc_downsample <= 1:
+            return self._eval_batch_fused(
+                tiles, B0, batch_size, augment, niter, flow_threshold,
+                cellprob_threshold, min_size, max_size_fraction,
+                percentile_subsample,
+            )
+
         key = ("batched", B, S, batch_size, niter, percentile_subsample,
-               cellprob_threshold, augment)
+               cellprob_threshold, augment, str(tiles.dtype))
         if key not in self._runners:
             self._runners[key] = self._build_batched(
                 B, S, batch_size, niter, percentile_subsample,
@@ -732,6 +762,133 @@ class ClassposeModel:
             out.append((masks, cm))
         return out
 
+    def _eval_batch_fused(
+        self, tiles, B0, batch_size, augment, niter, flow_threshold,
+        cellprob_threshold, min_size, max_size_fraction,
+        percentile_subsample,
+    ):
+        from classpose_tpu.dynamics.masks import (
+            fill_holes_and_remove_small_masks,
+        )
+
+        B, S = tiles.shape[0], tiles.shape[1]
+        key = ("fused", B, S, batch_size, niter, percentile_subsample,
+               cellprob_threshold, augment, float(flow_threshold or 0.0),
+               float(max_size_fraction or 0.0), str(tiles.dtype))
+        if key not in self._runners:
+            self._runners[key] = self._build_batched_fused(
+                B, S, batch_size, niter, percentile_subsample,
+                cellprob_threshold, augment, flow_threshold,
+                max_size_fraction,
+            )
+        xt = (
+            jax.device_put(tiles, self._tile_sharding)
+            if self._mesh is not None
+            else jnp.asarray(tiles)
+        )
+        class_pix, raw = self._runners[key](xt)
+        raw = np.asarray(raw)
+        class_pix = np.asarray(class_pix) if self.nclasses > 1 else None
+
+        out = []
+        for i in range(B0):
+            ids, rem = np.unique(raw[i], return_inverse=True)
+            masks = rem.reshape(raw[i].shape).astype(np.int32)
+            if ids[0] != 0:
+                masks += 1
+            if masks.max():
+                masks = fill_holes_and_remove_small_masks(
+                    masks, min_size=min_size
+                )
+            if self.nclasses > 1 and masks.max():
+                cm = compute_class_masks_from_pixels(
+                    masks, class_pix[i], self.nclasses
+                )
+            else:
+                cm = np.zeros_like(masks)
+            out.append((masks, cm))
+        return out
+
+    def _build_batched_fused(self, B, S, batch_size, niter,
+                             percentile_subsample, cellprob_threshold,
+                             augment, flow_threshold, max_size_fraction):
+        from classpose_tpu.dynamics.masks import (
+            follow_flows,
+            get_masks_from_positions,
+            qc_filter_masks,
+        )
+        from classpose_tpu.ops.normalize import normalize_img
+        from classpose_tpu.ops.tiles import (
+            average_tiles_separable as average_tiles,
+            compute_tile_grid,
+            get_pad_yx,
+            make_tiles,
+            unaugment_class_tiles,
+            unaugment_tiles,
+        )
+
+        bsize = self.cfg.bsize
+        ncls = self.nclasses
+        ypad1, ypad2, xpad1, xpad2 = get_pad_yx(S, S, (bsize, bsize))
+        grid = compute_tile_grid(
+            S + ypad1 + ypad2, S + xpad1 + xpad2, bsize, 0.1, augment
+        )
+        nt = grid.ntiles
+        bs = min(batch_size, nt)
+        nchunk = int(np.ceil(nt / bs))
+        pad_tiles = nchunk * bs - nt
+
+        def per_tile(img_hwc):
+            img = normalize_img(
+                img_hwc.astype(jnp.float32), axis=-1,
+                percentile_subsample=percentile_subsample,
+            )
+            chw = jnp.transpose(img, (2, 0, 1))
+            chw = jnp.pad(chw, ((0, 0), (ypad1, ypad2), (xpad1, xpad2)))
+            t = make_tiles(chw, grid)
+            if pad_tiles:
+                t = jnp.concatenate(
+                    [t, jnp.zeros((pad_tiles,) + t.shape[1:], t.dtype)]
+                )
+            chunks = t.reshape((nchunk, bs) + t.shape[1:])
+
+            def fwd(chunk):
+                y, _ = self._apply(chunk)
+                return y
+
+            y = jax.lax.map(fwd, chunks)
+            y = y.reshape((nchunk * bs,) + y.shape[2:])[:nt]
+            if ncls > 1:
+                y_class, y_seg = y[:, :ncls], y[:, ncls:]
+                if augment:
+                    y_class = unaugment_class_tiles(y_class, grid)
+                ycf = average_tiles(y_class, grid)[
+                    :, ypad1 : ypad1 + S, xpad1 : xpad1 + S
+                ]
+                class_pix = jnp.argmax(ycf, axis=0).astype(
+                    jnp.int8 if ncls <= 127 else jnp.int32
+                )
+            else:
+                y_seg = y
+                class_pix = jnp.zeros((S, S), jnp.int8)
+            if augment:
+                y_seg = unaugment_tiles(y_seg, grid)
+            yf = average_tiles(y_seg, grid)[
+                :, ypad1 : ypad1 + S, xpad1 : xpad1 + S
+            ]
+            dP = yf[:2]
+            cellprob = yf[2]
+            iscell = cellprob > cellprob_threshold
+            p = follow_flows(dP, iscell, niter=niter)
+            raw = get_masks_from_positions(p, iscell)
+            raw = qc_filter_masks(
+                raw, dP, flow_threshold=flow_threshold,
+                max_size_fraction=max_size_fraction,
+            )
+            return class_pix, raw
+
+        return jax.jit(jax.vmap(per_tile))
+
     def _build_batched(self, B, S, batch_size, niter, percentile_subsample,
                        cellprob_threshold=0.0, augment=False):
         from classpose_tpu.dynamics.masks import follow_flows
@@ -758,7 +915,7 @@ class ClassposeModel:
 
         def per_tile(img_hwc):
             img = normalize_img(
-                img_hwc, axis=-1,
+                img_hwc.astype(jnp.float32), axis=-1,
                 percentile_subsample=percentile_subsample,
             )
             chw = jnp.transpose(img, (2, 0, 1))

@@ -67,13 +67,9 @@ _SHIFTS9 = [
 ]
 
 
-def _diffuse_and_grad_dyn(
-    masks: jnp.ndarray, center_map: jnp.ndarray, niter
-) -> jnp.ndarray:
-    """Like :func:`_diffuse_and_grad` but ``niter`` may be a traced scalar
-    (lowered to a while loop) — used by the fused batched-eval program
-    where the diffusion horizon is derived from instance extents on
-    device."""
+def _diffuse_dyn(masks: jnp.ndarray, center_map: jnp.ndarray, niter):
+    """Masked heat diffusion only (returns the temperature field T);
+    ``niter`` may be a traced scalar (lowers to a while loop)."""
     H, W = masks.shape
     ids = masks.astype(jnp.int32)
     ids_p = jnp.pad(ids, 1)
@@ -93,8 +89,13 @@ def _diffuse_and_grad_dyn(
         T = T + center_map
         return jnp.where(fg, neighbor_mean(T), 0.0)
 
-    T = jax.lax.fori_loop(0, niter, body, jnp.zeros((H, W), jnp.float32))
+    return jax.lax.fori_loop(0, niter, body, jnp.zeros((H, W), jnp.float32))
 
+
+def grad_from_T(masks: jnp.ndarray, T: jnp.ndarray) -> jnp.ndarray:
+    """Normalized log-gradient of a diffused field → unit flows (2, H, W)."""
+    H, W = masks.shape
+    fg = masks.astype(jnp.int32) > 0
     logT = jnp.log1p(T)
     Tp = jnp.pad(logT, 1)
     dy = (Tp[2 : 2 + H, 1 : 1 + W] - Tp[0:H, 1 : 1 + W]) / 2.0
@@ -102,6 +103,14 @@ def _diffuse_and_grad_dyn(
     mag = jnp.sqrt(dy**2 + dx**2)
     mu = jnp.stack([dy, dx]) / jnp.maximum(mag, 1e-20)
     return jnp.where(fg[None], mu, 0.0).astype(jnp.float32)
+
+
+def _diffuse_and_grad_dyn(
+    masks: jnp.ndarray, center_map: jnp.ndarray, niter
+) -> jnp.ndarray:
+    """Masked heat diffusion + normalized log-gradient; ``niter`` may be a
+    traced scalar."""
+    return grad_from_T(masks, _diffuse_dyn(masks, center_map, niter))
 
 
 @partial(jax.jit, static_argnames=("niter",))

@@ -194,9 +194,25 @@ def qc_filter_masks(
     Returns (H, W) int32 raw labels with failing instances zeroed —
     densify on host. Designed to run inside the batched-eval program so
     only small int outputs cross the (slow) host↔device link.
-    """
-    from classpose_tpu.dynamics.flows import _diffuse_and_grad_dyn
 
+    Internally staged as prepare → diffuse → finish so the batched caller
+    can swap the diffusion for the Pallas halo-blocked kernel
+    (:mod:`classpose_tpu.ops.diffusion_pallas`) on TPU.
+    """
+    from classpose_tpu.dynamics.flows import _diffuse_dyn, grad_from_T
+
+    ids2d, center_map, niter_qc = qc_prepare(raw, max_size_fraction)
+    if flow_threshold is None or flow_threshold <= 0:
+        return ids2d
+    T = _diffuse_dyn(ids2d, center_map, niter_qc)
+    mu = grad_from_T(ids2d, T)
+    return qc_finish(ids2d, mu, dP, flow_threshold)
+
+
+def qc_prepare(raw: jnp.ndarray, max_size_fraction: float = 0.4):
+    """Stage 1 of the device QC: max-size filter, extent-derived diffusion
+    horizon, exact nearest-to-centroid center map. Returns
+    (filtered ids (H, W) int32, center map (H, W) f32, niter_qc scalar)."""
     H, W = raw.shape
     HW = H * W
     nb = HW + 2  # raw ids are flattened seed indices + 1
@@ -212,9 +228,6 @@ def qc_filter_masks(
         fg = ids > 0
         fgf = fg.astype(jnp.float32)
         n = jnp.zeros(nb, jnp.float32).at[ids].add(fgf)
-
-    if flow_threshold is None or flow_threshold <= 0:
-        return ids.reshape(H, W)
 
     idx = jnp.arange(HW, dtype=jnp.int32)
     yy = (idx // W).astype(jnp.float32)
@@ -245,11 +258,24 @@ def qc_filter_masks(
         .at[jnp.where(cand, ids, 0)]
         .min(jnp.where(cand, idx, HW + 1))
     )
-    center_map = (cand & (idx == idxmin[ids])).reshape(H, W)
-
-    mu = _diffuse_and_grad_dyn(
-        ids.reshape(H, W), center_map.astype(jnp.float32), niter_qc
+    center_map = (cand & (idx == idxmin[ids])).astype(jnp.float32)
+    return (
+        ids.reshape(H, W),
+        center_map.reshape(H, W),
+        niter_qc,
     )
+
+
+def qc_finish(ids2d: jnp.ndarray, mu: jnp.ndarray, dP: jnp.ndarray,
+              flow_threshold: float) -> jnp.ndarray:
+    """Stage 3: per-instance mean squared error vs ``dP/5``; failing
+    instances zeroed."""
+    H, W = ids2d.shape
+    nb = H * W + 2
+    ids = ids2d.ravel()
+    fg = ids > 0
+    fgf = fg.astype(jnp.float32)
+    n = jnp.zeros(nb, jnp.float32).at[ids].add(fgf)
     err_map = ((mu - dP.astype(jnp.float32) / 5.0) ** 2).sum(axis=0).ravel()
     s = jnp.zeros(nb, jnp.float32).at[ids].add(err_map * fgf)
     bad = (s / jnp.maximum(n, 1.0) > flow_threshold).at[0].set(False)

@@ -881,13 +881,19 @@ class ClassposeModel:
             iscell = cellprob > cellprob_threshold
             p = follow_flows(dP, iscell, niter=niter)
             raw = get_masks_from_positions(p, iscell)
-            raw = qc_filter_masks(
-                raw, dP, flow_threshold=flow_threshold,
-                max_size_fraction=max_size_fraction,
-            )
+            return class_pix, raw, dP
+
+        def batched(x):
+            class_pix, raw, dP = jax.vmap(per_tile)(x)
+            raw = jax.vmap(
+                lambda r, d: qc_filter_masks(
+                    r, d, flow_threshold=flow_threshold,
+                    max_size_fraction=max_size_fraction,
+                )
+            )(raw, dP)
             return class_pix, raw
 
-        return jax.jit(jax.vmap(per_tile))
+        return jax.jit(batched)
 
     def _build_batched(self, B, S, batch_size, niter, percentile_subsample,
                        cellprob_threshold=0.0, augment=False):

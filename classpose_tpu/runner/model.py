@@ -684,6 +684,7 @@ class ClassposeModel:
             instance_center_map,
         )
         from classpose_tpu.dynamics.masks import (
+            densify_labels,
             fill_holes_and_remove_small_masks,
             get_masks_from_positions,
         )
@@ -696,10 +697,7 @@ class ClassposeModel:
 
         masks_list = []
         for i in range(B):
-            ids, rem = np.unique(raw[i], return_inverse=True)
-            masks = rem.reshape(raw[i].shape).astype(np.int32)
-            if ids[0] != 0:
-                masks += 1
+            masks = densify_labels(raw[i])
             nmax = int(masks.max())
             if nmax:
                 counts = np.bincount(masks.ravel(), minlength=nmax + 1)
@@ -768,6 +766,7 @@ class ClassposeModel:
         percentile_subsample,
     ):
         from classpose_tpu.dynamics.masks import (
+            densify_labels,
             fill_holes_and_remove_small_masks,
         )
 
@@ -792,10 +791,7 @@ class ClassposeModel:
 
         out = []
         for i in range(B0):
-            ids, rem = np.unique(raw[i], return_inverse=True)
-            masks = rem.reshape(raw[i].shape).astype(np.int32)
-            if ids[0] != 0:
-                masks += 1
+            masks = densify_labels(raw[i])
             if masks.max():
                 masks = fill_holes_and_remove_small_masks(
                     masks, min_size=min_size

@@ -180,3 +180,43 @@ def test_follow_flows_matches_torch_euler_oracle():
     M = iou_matrix(m_ref, m_jax)
     matched = M.max(axis=1)
     assert (matched >= 0.99).all(), matched
+
+
+def test_densify_labels_matches_unique():
+    from classpose_tpu.dynamics.masks import densify_labels
+
+    rng = np.random.default_rng(3)
+    # sparse non-sequential ids incl. background, like raw seed-index labels
+    raw = rng.choice(
+        [0, 0, 0, 7, 1023, 4096, 65535, 1_000_000], size=(128, 128)
+    ).astype(np.int32)
+    ids, rem = np.unique(raw, return_inverse=True)
+    want = rem.reshape(raw.shape).astype(np.int32)
+    if ids[0] != 0:
+        want += 1
+    got = densify_labels(raw)
+    assert np.array_equal(got, want)
+    # no background at all
+    raw2 = np.full((8, 8), 5, np.int32)
+    assert np.array_equal(densify_labels(raw2), np.ones((8, 8), np.int32))
+    # all background
+    raw3 = np.zeros((8, 8), np.int32)
+    assert np.array_equal(densify_labels(raw3), raw3)
+
+
+def test_binary_fill_holes_matches_scipy():
+    from scipy import ndimage
+
+    from classpose_tpu.dynamics.masks import _binary_fill_holes
+
+    rng = np.random.default_rng(4)
+    for _ in range(20):
+        crop = rng.uniform(size=(31, 37)) > 0.55
+        got = _binary_fill_holes(crop)
+        want = ndimage.binary_fill_holes(crop)
+        assert np.array_equal(got, want)
+    # degenerate shapes
+    assert np.array_equal(
+        _binary_fill_holes(np.ones((1, 1), bool)),
+        ndimage.binary_fill_holes(np.ones((1, 1), bool)),
+    )

@@ -31,6 +31,18 @@ from classpose_tpu.ops.tiles import (
 )
 
 
+def chunk_plan(nt: int, batch_size: int) -> tuple[int, int, int]:
+    """(nchunk, bs, pad_tiles) for scanning ``nt`` tiles in chunks of at
+    most ``batch_size``. The per-chunk batch is shrunk to the smallest
+    value that keeps the same chunk count, minimizing padded (wasted)
+    forwards: nt=25 with batch_size=8 gives 4 chunks of 7 (3 padded)
+    instead of 4 chunks of 8 (7 padded — a 22% overhead on the grid
+    forward)."""
+    nchunk = int(np.ceil(nt / min(batch_size, nt)))
+    bs = int(np.ceil(nt / nchunk))
+    return nchunk, bs, nchunk * bs - nt
+
+
 class TileRunner:
     """Compiled tiled-forward for one (Ly, Lx) image geometry.
 
@@ -64,9 +76,7 @@ class TileRunner:
             Lyp, Lxp, self.bsize, self.tile_overlap, self.augment
         )
         nt = grid.ntiles
-        bs = min(self.batch_size, nt)
-        nchunk = int(np.ceil(nt / bs))
-        pad_tiles = nchunk * bs - nt
+        nchunk, bs, pad_tiles = chunk_plan(nt, self.batch_size)
         ncls = self.n_cell_classes
 
         def run(img_chw):

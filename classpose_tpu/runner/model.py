@@ -23,7 +23,7 @@ from classpose_tpu.dynamics import compute_masks as _dyn_compute_masks
 from classpose_tpu.log import get_logger
 from classpose_tpu.nn import ClassTransformer, ClassTransformerConfig
 from classpose_tpu.ops.normalize import NORMALIZE_DEFAULT, normalize_img
-from classpose_tpu.runner.core import TileRunner
+from classpose_tpu.runner.core import TileRunner, chunk_plan
 
 models_logger = get_logger(__name__)
 
@@ -811,7 +811,7 @@ class ClassposeModel:
         from classpose_tpu.dynamics.masks import (
             follow_flows,
             get_masks_from_positions,
-            qc_filter_masks,
+            qc_filter_masks_fused,
         )
         from classpose_tpu.ops.normalize import normalize_img
         from classpose_tpu.ops.tiles import (
@@ -830,9 +830,7 @@ class ClassposeModel:
             S + ypad1 + ypad2, S + xpad1 + xpad2, bsize, 0.1, augment
         )
         nt = grid.ntiles
-        bs = min(batch_size, nt)
-        nchunk = int(np.ceil(nt / bs))
-        pad_tiles = nchunk * bs - nt
+        nchunk, bs, pad_tiles = chunk_plan(nt, batch_size)
 
         def per_tile(img_hwc):
             img = normalize_img(
@@ -876,17 +874,19 @@ class ClassposeModel:
             cellprob = yf[2]
             iscell = cellprob > cellprob_threshold
             p = follow_flows(dP, iscell, niter=niter)
-            raw = get_masks_from_positions(p, iscell)
-            return class_pix, raw, dP
+            raw, seed_lab = get_masks_from_positions(
+                p, iscell, return_seeds=True
+            )
+            return class_pix, raw, seed_lab, dP
 
         def batched(x):
-            class_pix, raw, dP = jax.vmap(per_tile)(x)
+            class_pix, raw, seed_lab, dP = jax.vmap(per_tile)(x)
             raw = jax.vmap(
-                lambda r, d: qc_filter_masks(
-                    r, d, flow_threshold=flow_threshold,
+                lambda r, s, d: qc_filter_masks_fused(
+                    r, s, d, flow_threshold=flow_threshold,
                     max_size_fraction=max_size_fraction,
                 )
-            )(raw, dP)
+            )(raw, seed_lab, dP)
             return class_pix, raw
 
         return jax.jit(batched)
@@ -911,9 +911,7 @@ class ClassposeModel:
             S + ypad1 + ypad2, S + xpad1 + xpad2, bsize, 0.1, augment
         )
         nt = grid.ntiles
-        bs = min(batch_size, nt)
-        nchunk = int(np.ceil(nt / bs))
-        pad_tiles = nchunk * bs - nt
+        nchunk, bs, pad_tiles = chunk_plan(nt, batch_size)
 
         def per_tile(img_hwc):
             img = normalize_img(

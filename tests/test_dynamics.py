@@ -220,3 +220,56 @@ def test_binary_fill_holes_matches_scipy():
         _binary_fill_holes(np.ones((1, 1), bool)),
         ndimage.binary_fill_holes(np.ones((1, 1), bool)),
     )
+
+
+def test_qc_fused_matches_scatter():
+    """qc_filter_masks_fused (one-hot segment reductions) must agree with
+    the scatter-based qc_filter_masks, including the max-size filter and
+    flow-error removal."""
+    from classpose_tpu.dynamics.masks import (
+        follow_flows,
+        get_masks_from_positions,
+        qc_filter_masks,
+        qc_filter_masks_fused,
+    )
+
+    gt = make_disks(
+        shape=(128, 128),
+        centers=((32, 32), (64, 90), (100, 40), (20, 100)),
+        radius=12,
+    )
+    mu = np.asarray(masks_to_flows(gt))
+    dP = (5.0 * mu).astype(np.float32)
+    # garbage blob: right size but wrong flows -> must fail the flow QC
+    dP[:, 90:118, 90:118] = 0.0
+    cellprob = np.where(gt > 0, 3.0, -3.0).astype(np.float32)
+    cellprob[90:118, 90:118] = 3.0
+    iscell = jnp.asarray(cellprob > 0)
+    p = follow_flows(jnp.asarray(dP), iscell, niter=200)
+    raw, seeds = get_masks_from_positions(p, iscell, return_seeds=True)
+
+    a = np.asarray(qc_filter_masks(raw, jnp.asarray(dP), 0.4, 0.4))
+    b = np.asarray(
+        qc_filter_masks_fused(
+            raw, seeds, jnp.asarray(dP), 0.4, 0.4, chunk=2048
+        )
+    )
+    assert np.array_equal(a, b)
+    assert a.max() > 0  # real disks survived
+
+    # max-size path: huge instance must be removed identically
+    big = np.zeros((128, 128), np.int32)
+    big[4:124, 4:124] = 77
+    big[2, 2] = 5  # also a tiny one
+    seeds_big = np.zeros_like(big)
+    seeds_big[60, 60] = 77
+    seeds_big[2, 2] = 5
+    dp0 = np.zeros((2, 128, 128), np.float32)
+    a2 = np.asarray(qc_filter_masks(jnp.asarray(big), jnp.asarray(dp0),
+                                    0.0, 0.4))
+    b2 = np.asarray(
+        qc_filter_masks_fused(jnp.asarray(big), jnp.asarray(seeds_big),
+                              jnp.asarray(dp0), 0.0, 0.4, chunk=2048)
+    )
+    assert np.array_equal(a2, b2)
+    assert 77 not in a2 and 5 in a2

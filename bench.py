@@ -47,8 +47,9 @@ def main():
     ).astype(np.uint8)
 
     def run_once():
-        # default-fidelity pipeline settings (DeviceWorker batched path)
-        return model.eval_batch(tiles, batch_size=8, niter=200)
+        # default-fidelity pipeline settings (DeviceWorker batched path;
+        # batch_size 32 = whole 25-tile grid in one forward chunk)
+        return model.eval_batch(tiles, batch_size=32, niter=200)
 
     # warmup / compile
     run_once()

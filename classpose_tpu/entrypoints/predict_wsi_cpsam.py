@@ -65,7 +65,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--min_area", type=int, default=0)
     parser.add_argument("--tta", action=argparse.BooleanOptionalAction,
                         default=False)
-    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--device", type=str, default=None)
     parser.add_argument("--precision", type=str, default="bf16",
                         choices=["fp32", "fp16", "bf16"])

@@ -58,6 +58,9 @@ class ClassTransformerConfig:
     mlp_ratio: float = 4.0
     neck_dim: int = 256
     dtype: str = "float32"  # compute dtype; params are always fp32
+    # VMEM-resident Pallas rel-pos attention on TPU bf16 (nn/attention.py);
+    # False falls back to the plain-XLA einsum path (same math)
+    use_pallas_attention: bool = True
 
     @property
     def compute_dtype(self):
@@ -104,6 +107,7 @@ class Attention(nn.Module):
     use_rel_pos: bool = True
     input_size: tuple[int, int] = (32, 32)
     dtype: jnp.dtype = jnp.float32
+    allow_pallas: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -120,7 +124,8 @@ class Attention(nn.Module):
         v = jnp.swapaxes(v, 1, 2)
 
         use_pallas = (
-            self.use_rel_pos
+            self.allow_pallas
+            and self.use_rel_pos
             and self.dtype == jnp.bfloat16
             and jax.default_backend() == "tpu"
             and H * W == L
@@ -228,6 +233,7 @@ class Block(nn.Module):
     mlp_ratio: float
     input_size: tuple[int, int]
     dtype: jnp.dtype = jnp.float32
+    allow_pallas: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -237,6 +243,7 @@ class Block(nn.Module):
             self.num_heads,
             input_size=self.input_size,
             dtype=self.dtype,
+            allow_pallas=self.allow_pallas,
             name="attn",
         )(y)
         x = shortcut + y
@@ -311,6 +318,7 @@ class ImageEncoderViT(nn.Module):
                 cfg.mlp_ratio,
                 (thw, thw),
                 dtype=dt,
+                allow_pallas=cfg.use_pallas_attention,
                 name=f"blocks_{i}",
             )
             for i in range(cfg.depth)

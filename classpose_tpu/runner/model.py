@@ -809,10 +809,18 @@ class ClassposeModel:
                              percentile_subsample, cellprob_threshold,
                              augment, flow_threshold, max_size_fraction):
         from classpose_tpu.dynamics.masks import (
-            follow_flows,
+            follow_flows_batched,
             get_masks_from_positions,
+            qc_filter_masks,
             qc_filter_masks_fused,
         )
+
+        # one-hot segment-reduce QC is ~10x faster than scatters on TPU
+        # (no serialized 1M-index scatter/gather) but ~5x slower on CPU,
+        # where scatters are cheap and the K-wide masked sweeps are not —
+        # pick per backend at build time (results agree; equivalence is
+        # pinned by tests/test_dynamics.py::test_qc_fused_matches_scatter)
+        qc_onehot = jax.default_backend() == "tpu"
         from classpose_tpu.ops.normalize import normalize_img
         from classpose_tpu.ops.tiles import (
             average_tiles_separable as average_tiles,
@@ -873,20 +881,33 @@ class ClassposeModel:
             dP = yf[:2]
             cellprob = yf[2]
             iscell = cellprob > cellprob_threshold
-            p = follow_flows(dP, iscell, niter=niter)
-            raw, seed_lab = get_masks_from_positions(
-                p, iscell, return_seeds=True
-            )
-            return class_pix, raw, seed_lab, dP
+            return class_pix, dP, iscell
 
         def batched(x):
-            class_pix, raw, seed_lab, dP = jax.vmap(per_tile)(x)
-            raw = jax.vmap(
-                lambda r, s, d: qc_filter_masks_fused(
-                    r, s, d, flow_threshold=flow_threshold,
-                    max_size_fraction=max_size_fraction,
+            # follow_flows runs OUTSIDE the per-tile vmap so its per-pass
+            # shift-vs-gather lax.cond stays a real branch (inside a vmap
+            # it would lower to a select executing both sides)
+            class_pix, dP, iscell = jax.vmap(per_tile)(x)
+            p = follow_flows_batched(dP, iscell, niter=niter)
+            raw, seed_lab = jax.vmap(
+                lambda pp, ii: get_masks_from_positions(
+                    pp, ii, return_seeds=True
                 )
-            )(raw, seed_lab, dP)
+            )(p, iscell)
+            if qc_onehot:
+                raw = jax.vmap(
+                    lambda r, s, d: qc_filter_masks_fused(
+                        r, s, d, flow_threshold=flow_threshold,
+                        max_size_fraction=max_size_fraction,
+                    )
+                )(raw, seed_lab, dP)
+            else:
+                raw = jax.vmap(
+                    lambda r, d: qc_filter_masks(
+                        r, d, flow_threshold=flow_threshold,
+                        max_size_fraction=max_size_fraction,
+                    )
+                )(raw, dP)
             return class_pix, raw
 
         return jax.jit(batched)

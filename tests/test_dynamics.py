@@ -222,6 +222,55 @@ def test_binary_fill_holes_matches_scipy():
     )
 
 
+def test_follow_flows_batched_bit_equal():
+    """Batched B=N, per-tile B=1, shift-sampled and gather-sampled
+    integration must all agree to fp tolerance. (Bitwise equality across
+    batch shapes is NOT guaranteed — XLA contracts the per-pass arithmetic
+    slightly differently per shape, which rounding can amplify to 1-px
+    position flips at a handful of pixels; the mask-level equivalence that
+    production relies on is asserted strictly in test_batched_eval.)"""
+    from classpose_tpu.dynamics.masks import (
+        follow_flows,
+        follow_flows_batched,
+    )
+
+    gt = make_disks(shape=(96, 96))
+    mu = np.asarray(masks_to_flows(gt))
+    small = (5.0 * mu).astype(np.float32)   # ~1 px/step
+    large = (25.0 * mu).astype(np.float32)  # hits the STEP_CAP clamp
+    iscell = np.stack([gt > 0, gt > 0]).astype(bool)
+    for dP in (small, large):
+        batch = np.stack([dP, dP * 0.5])
+        # (a) gather path (production selection at this size), B=2 vs B=1
+        pb = np.asarray(
+            follow_flows_batched(
+                jnp.asarray(batch), jnp.asarray(iscell), niter=200
+            )
+        )
+        def positions_close(a, b, max_frac=0.005):
+            # ulp-level divergence can round-amplify to ~1-px flips at a
+            # handful of pixels; bound both the flip magnitude and rate
+            d = np.abs(a - b)
+            assert d.max() <= 1.5, d.max()
+            assert (d > 1e-3).mean() <= max_frac, (d > 1e-3).mean()
+
+        for i in range(2):
+            pi = np.asarray(
+                follow_flows(
+                    jnp.asarray(batch[i]), jnp.asarray(iscell[i]), niter=200
+                )
+            )
+            positions_close(pb[i], pi)
+        # shift path (forced via shift_min_size=0) vs gather path
+        ps2 = np.asarray(
+            follow_flows_batched(
+                jnp.asarray(batch), jnp.asarray(iscell), niter=200,
+                shift_min_size=0,
+            )
+        )
+        positions_close(ps2, pb)
+
+
 def test_qc_fused_matches_scatter():
     """qc_filter_masks_fused (one-hot segment reductions) must agree with
     the scatter-based qc_filter_masks, including the max-size filter and

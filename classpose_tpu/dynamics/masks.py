@@ -351,6 +351,7 @@ def qc_filter_masks_fused(
     max_size_fraction: float = 0.4,
     max_instances: int = 4096,
     chunk: int = 8192,
+    dense_output: bool = False,
 ) -> jnp.ndarray:
     """Device QC with one-hot segment reductions instead of scatters.
 
@@ -369,7 +370,12 @@ def qc_filter_masks_fused(
     filter, get no diffusion center, and are then removed by the flow-error
     test (their recomputed flows are zero).
 
-    Returns (H, W) int32 raw labels with failing instances zeroed.
+    Returns (H, W) int32 raw labels with failing instances zeroed; with
+    ``dense_output`` the surviving instances are instead relabeled on
+    device to ascending-by-id values in [1, K] and returned as int16 —
+    half the device→host bytes, and the host skips its densify pass (the
+    ascending order keeps the final sequential relabeling identical to
+    the raw-id path).
     """
     from classpose_tpu.dynamics.flows import _diffuse_dyn, grad_from_T
 
@@ -379,10 +385,16 @@ def qc_filter_masks_fused(
     C = int(min(chunk, HW))
     if HW % C:
         # fall back for odd geometries; production tiles are powers of two
-        return qc_filter_masks(
+        out = qc_filter_masks(
             raw, dP, flow_threshold=flow_threshold,
             max_size_fraction=max_size_fraction,
         )
+        if dense_output:
+            raise ValueError(
+                "dense_output requires the chunked path (H*W divisible "
+                f"by chunk={C})"
+            )
+        return out
     nchunk = HW // C
     big = jnp.float32(1e9)
 
@@ -463,8 +475,27 @@ def qc_filter_masks_fused(
         (jnp.zeros(HW, jnp.int32), jnp.full(HW, big), jnp.full(K, big)),
     )
     ids2d = ids_f.reshape(H, W)
+
+    dense_val = (K - jnp.arange(K, dtype=jnp.float32))  # ascending by id
+
+    def densify_sweep(sl_f, good_f):
+        Mf = match(sl_f).astype(jnp.float32)
+        return (Mf * (good_f * dense_val)[None, :]).sum(1).astype(jnp.int16)
+
     if flow_threshold is None or flow_threshold <= 0:
-        return ids2d
+        if not dense_output:
+            return ids2d
+        ok_f = ((n2 > 0) & valid_col).astype(jnp.float32)
+
+        def s6a(c, out):
+            sl_f = slc(ids_f, c)
+            return jax.lax.dynamic_update_slice_in_dim(
+                out, densify_sweep(sl_f, ok_f), c * C, 0
+            )
+
+        return jax.lax.fori_loop(
+            0, nchunk, s6a, jnp.zeros(HW, jnp.int16)
+        ).reshape(H, W)
 
     # sweep 3: per-instance lowest flat index among nearest-to-centroid
     def s3(c, idxmin):
@@ -515,6 +546,17 @@ def qc_filter_masks_fused(
 
     # sweep 6: keep only pixels of passing instances (unmatched overflow
     # ids match no column and are dropped)
+    if dense_output:
+        def s6(c, out):
+            sl_f = slc(ids_f, c)
+            return jax.lax.dynamic_update_slice_in_dim(
+                out, densify_sweep(sl_f, good_f), c * C, 0
+            )
+
+        return jax.lax.fori_loop(
+            0, nchunk, s6, jnp.zeros(HW, jnp.int16)
+        ).reshape(H, W)
+
     def s6(c, out):
         sl_f = slc(ids_f, c)
         Mf = match(sl_f).astype(jnp.float32)

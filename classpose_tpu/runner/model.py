@@ -791,7 +791,11 @@ class ClassposeModel:
 
         out = []
         for i in range(B0):
-            masks = densify_labels(raw[i])
+            if raw.dtype == np.int16:
+                # device already produced dense ascending labels
+                masks = raw[i].astype(np.int32)
+            else:
+                masks = densify_labels(raw[i])
             if masks.max():
                 masks = fill_holes_and_remove_small_masks(
                     masks, min_size=min_size
@@ -819,8 +823,16 @@ class ClassposeModel:
         # (no serialized 1M-index scatter/gather) but ~5x slower on CPU,
         # where scatters are cheap and the K-wide masked sweeps are not —
         # pick per backend at build time (results agree; equivalence is
-        # pinned by tests/test_dynamics.py::test_qc_fused_matches_scatter)
-        qc_onehot = jax.default_backend() == "tpu"
+        # pinned by tests/test_dynamics.py::test_qc_fused_matches_scatter).
+        # CLASSPOSE_QC_ONEHOT=1/0 overrides (tests force the TPU path on
+        # the CPU backend with it)
+        import os as _os
+
+        _ov = _os.environ.get("CLASSPOSE_QC_ONEHOT")
+        qc_onehot = (
+            _ov == "1" if _ov in ("0", "1")
+            else jax.default_backend() == "tpu"
+        )
         from classpose_tpu.ops.normalize import normalize_img
         from classpose_tpu.ops.tiles import (
             average_tiles_separable as average_tiles,
@@ -895,10 +907,14 @@ class ClassposeModel:
                 )
             )(p, iscell)
             if qc_onehot:
+                # dense int16 labels halve the device→host bytes and let
+                # the host skip its densify pass (ascending-by-id order
+                # keeps the final sequential relabeling identical)
                 raw = jax.vmap(
                     lambda r, s, d: qc_filter_masks_fused(
                         r, s, d, flow_threshold=flow_threshold,
                         max_size_fraction=max_size_fraction,
+                        dense_output=True,
                     )
                 )(raw, seed_lab, dP)
             else:

@@ -18,6 +18,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: the suite's wall time is dominated by
+# CPU compiles of the big fused programs (measured 80s -> 27s for the
+# 512² follow_flows program on a warm cache). Safe here because the cache
+# is written and read on the same host.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.expanduser("~/.cache/classpose_tpu/jax-cpu-tests"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

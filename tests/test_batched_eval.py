@@ -8,6 +8,31 @@ from classpose_tpu.io.array_reader import synthetic_wsi
 from classpose_tpu.pipeline.predict_wsi import main
 
 
+def test_eval_batch_matches_per_tile_onehot_qc(monkeypatch):
+    """The TPU production QC path (one-hot segment reductions + dense
+    int16 device labels), forced onto the CPU backend, must produce the
+    same instances as per-tile eval."""
+    monkeypatch.setenv("CLASSPOSE_QC_ONEHOT", "1")
+
+    from classpose_tpu.nn import ClassTransformerConfig
+    from classpose_tpu.runner import ClassposeModel
+
+    cfg = ClassTransformerConfig(
+        n_cell_classes=3, embed_dim=32, depth=1, num_heads=2, neck_dim=16,
+        bsize=64,
+    )
+    model = ClassposeModel(cfg=cfg, precision="fp32")
+    rng = np.random.default_rng(1)
+    tiles = rng.uniform(0, 255, (2, 128, 128, 3)).astype(np.float32)
+    batched = model.eval_batch(tiles, batch_size=4, niter=40, min_size=1)
+    for i in range(2):
+        masks_i, _, cm_i, _ = model.eval(
+            tiles[i], batch_size=4, niter=40, min_size=1
+        )
+        np.testing.assert_array_equal(batched[i][0], masks_i)
+        np.testing.assert_array_equal(batched[i][1], cm_i)
+
+
 def test_eval_batch_matches_per_tile():
     import jax
 

@@ -306,6 +306,20 @@ def test_qc_fused_matches_scatter():
     assert np.array_equal(a, b)
     assert a.max() > 0  # real disks survived
 
+    # dense_output: same partition, labels densified ascending-by-id on
+    # device (int16) — must match the host densify of the raw-id output
+    from classpose_tpu.dynamics.masks import densify_labels
+
+    d = np.asarray(
+        qc_filter_masks_fused(
+            raw, seeds, jnp.asarray(dP), 0.4, 0.4, chunk=2048,
+            dense_output=True,
+        )
+    )
+    assert d.dtype == np.int16
+    assert np.array_equal(densify_labels(d.astype(np.int32)),
+                          densify_labels(b))
+
     # max-size path: huge instance must be removed identically
     big = np.zeros((128, 128), np.int32)
     big[4:124, 4:124] = 77

@@ -142,11 +142,15 @@ class DeviceWorker:
                 )
                 replica._runners = {}
                 self.models.append(replica)
-        # one background inference thread keeps the reader streaming while
-        # the device (or mesh) crunches the current batch; the replica
-        # fallback gets one thread per replica
+        # background inference threads keep the reader streaming while the
+        # device (or mesh) crunches the current batch; TWO threads for the
+        # batched path so batch i+1's device program dispatches (async)
+        # while batch i's host post-processing runs — otherwise the chip
+        # idles for the host tail of every batch. Runner compilation is
+        # serialized by the model's build lock. The replica fallback gets
+        # one thread per replica.
         n_infer = len(self.models) if len(self.models) > 1 else (
-            1 if self.tile_batch > 1 else 0
+            2 if self.tile_batch > 1 else 0
         )
         self._infer_pool = (
             ThreadPoolExecutor(max_workers=n_infer) if n_infer else None

@@ -13,6 +13,7 @@ fallback logic at models.py:37-69 exists for the inverse reason on CUDA).
 
 from __future__ import annotations
 
+import threading
 import time
 
 import jax
@@ -241,6 +242,10 @@ class ClassposeModel:
 
         self._apply = lambda x: self.net.apply(self.params, x)
         self._runners: dict = {}
+        # guards runner construction when concurrent pipeline threads
+        # race to compile the same program (calls are thread-safe once
+        # built; jitted executables are)
+        self._build_lock = threading.Lock()
         self._mesh = None
         self._tile_sharding = None
         self._replicated = None
@@ -662,10 +667,12 @@ class ClassposeModel:
         key = ("batched", B, S, batch_size, niter, percentile_subsample,
                cellprob_threshold, augment, str(tiles.dtype))
         if key not in self._runners:
-            self._runners[key] = self._build_batched(
-                B, S, batch_size, niter, percentile_subsample,
-                cellprob_threshold, augment,
-            )
+            with self._build_lock:
+                if key not in self._runners:
+                    self._runners[key] = self._build_batched(
+                        B, S, batch_size, niter, percentile_subsample,
+                        cellprob_threshold, augment,
+                    )
         xt = (
             jax.device_put(tiles, self._tile_sharding)
             if self._mesh is not None
@@ -775,11 +782,13 @@ class ClassposeModel:
                cellprob_threshold, augment, float(flow_threshold or 0.0),
                float(max_size_fraction or 0.0), str(tiles.dtype))
         if key not in self._runners:
-            self._runners[key] = self._build_batched_fused(
-                B, S, batch_size, niter, percentile_subsample,
-                cellprob_threshold, augment, flow_threshold,
-                max_size_fraction,
-            )
+            with self._build_lock:
+                if key not in self._runners:
+                    self._runners[key] = self._build_batched_fused(
+                        B, S, batch_size, niter, percentile_subsample,
+                        cellprob_threshold, augment, flow_threshold,
+                        max_size_fraction,
+                    )
         xt = (
             jax.device_put(tiles, self._tile_sharding)
             if self._mesh is not None

@@ -32,6 +32,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from classpose_tpu.dynamics.flows import masks_to_flows
+from classpose_tpu.log import get_logger
+
+logger = get_logger(__name__)
 
 
 def _bilinear2(fields: jnp.ndarray, py: jnp.ndarray, px: jnp.ndarray):
@@ -252,11 +255,16 @@ def get_masks_from_positions(
 ):
     """Cluster converged positions into instance labels.
 
-    Returns (H, W) int32 labels (ids are flattened seed indices + 1,
-    *not* sequential — renumber on host). With ``return_seeds`` also
-    returns the (H, W) seed-id map (each instance's id at exactly its
-    seed pixel, 0 elsewhere) — the fused QC uses it to enumerate the
-    distinct ids without a device-side unique.
+    Returns (H, W) int32 labels. Ids are DENSE seed ranks (1..n_seeds in
+    raster order of the seed pixels) — instances whose basins die still
+    leave gaps, so the final output is renumbered on host. The dense-rank
+    assignment (a cumsum over the seed map) preserves the raster ordering
+    that flat-index ids had, so the 3×3 max-id basin tie-breaking is
+    bit-identical to the former flat-index labeling — and the fused QC
+    can enumerate ids as 1..K with no device-side sort/top_k. With
+    ``return_seeds`` also returns the (H, W) seed-id map (each instance's
+    id at exactly its seed pixel, 0 elsewhere; its max is the seed
+    count).
     """
     H, W = iscell.shape
     fy = jnp.clip(jnp.round(p[0]), 0, H - 1).astype(jnp.int32)
@@ -273,13 +281,9 @@ def get_masks_from_positions(
     )
     seeds = (h >= hmax) & (h > seed_min_count)
 
-    seed_lab = jnp.where(
-        seeds,
-        jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W
-        + jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-        + 1,
-        0,
-    )
+    seeds_flat = seeds.ravel()
+    rank = jnp.cumsum(seeds_flat.astype(jnp.int32))
+    seed_lab = jnp.where(seeds_flat, rank, 0).reshape(H, W)
     grow = h > basin_min_count
 
     def body(_, lab):
@@ -345,7 +349,6 @@ def qc_filter_masks(
 
 def qc_filter_masks_fused(
     raw: jnp.ndarray,
-    seed_lab: jnp.ndarray,
     dP: jnp.ndarray,
     flow_threshold: float = 0.4,
     max_size_fraction: float = 0.4,
@@ -361,14 +364,14 @@ def qc_filter_masks_fused(
     ~10x faster on TPU: every per-instance statistic is a chunked masked
     reduction over a pixels×K match matrix (K = ``max_instances``), which
     XLA fuses into compare→select→reduce loops with no HBM scatter/gather.
-    ``seed_lab`` (from ``get_masks_from_positions(..., return_seeds=True)``)
-    enumerates the distinct ids — each instance's id sits at exactly its
-    seed pixel, so ``top_k`` yields the unique id list without a sort.
+    Ids must be DENSE ranks as produced by
+    :func:`get_masks_from_positions` — column k of the match matrix is
+    simply id k+1, with no device-side unique/top_k.
 
-    Beyond ``max_instances`` ids per tile (pathological for 1024² histology
-    tiles), the overflow instances miss the id list: they skip the max-size
-    filter, get no diffusion center, and are then removed by the flow-error
-    test (their recomputed flows are zero).
+    Ids beyond ``max_instances`` (pathological for 1024² histology tiles)
+    are DROPPED in every output path — callers detect the condition from
+    the seed count (``seed_lab.max()``) and should fall back to the
+    scatter QC for such tiles (see ``ClassposeModel._eval_batch_fused``).
 
     Returns (H, W) int32 raw labels with failing instances zeroed; with
     ``dense_output`` the surviving instances are instead relabeled on
@@ -376,6 +379,10 @@ def qc_filter_masks_fused(
     half the device→host bytes, and the host skips its densify pass (the
     ascending order keeps the final sequential relabeling identical to
     the raw-id path).
+
+    Non-divisible geometries (H·W % chunk ≠ 0) are zero-padded up to the
+    next chunk multiple; pad pixels carry id 0, match no column, and
+    cannot become centers, so every sweep is unaffected.
     """
     from classpose_tpu.dynamics.flows import _diffuse_dyn, grad_from_T
 
@@ -383,35 +390,28 @@ def qc_filter_masks_fused(
     HW = H * W
     K = int(max_instances)
     C = int(min(chunk, HW))
-    if HW % C:
-        # fall back for odd geometries; production tiles are powers of two
-        out = qc_filter_masks(
-            raw, dP, flow_threshold=flow_threshold,
-            max_size_fraction=max_size_fraction,
-        )
-        if dense_output:
-            raise ValueError(
-                "dense_output requires the chunked path (H*W divisible "
-                f"by chunk={C})"
-            )
-        return out
-    nchunk = HW // C
+    HWp = -(-HW // C) * C  # padded length: next multiple of the chunk
+    npad = HWp - HW
+    nchunk = HWp // C
     big = jnp.float32(1e9)
 
-    ids = raw.ravel().astype(jnp.int32)
-    seed_ids, _ = jax.lax.top_k(seed_lab.ravel().astype(jnp.int32), K)
-    valid_col = seed_ids > 0
+    def padded(a, value=0):
+        return jnp.pad(a, (0, npad), constant_values=value) if npad else a
+
+    ids = padded(raw.ravel().astype(jnp.int32))
+    seed_ids = jnp.arange(1, K + 1, dtype=jnp.int32)
 
     idxf = jnp.arange(HW, dtype=jnp.int32)
-    yy = (idxf // W).astype(jnp.float32)
-    xx = (idxf % W).astype(jnp.float32)
-    xf = idxf.astype(jnp.float32)
+    yy = padded((idxf // W).astype(jnp.float32))
+    xx = padded((idxf % W).astype(jnp.float32))
+    xf = padded(idxf.astype(jnp.float32), value=HW)
 
     def slc(a, c):
         return jax.lax.dynamic_slice_in_dim(a, c * C, C)
 
     def match(sl):
-        return (sl[:, None] == seed_ids[None, :]) & (sl > 0)[:, None]
+        # dense ids: 0 and overflow (> K) match no column by construction
+        return sl[:, None] == seed_ids[None, :]
 
     # sweep 1: pixel counts, centroid sums, bboxes
     def s1(c, acc):
@@ -441,7 +441,7 @@ def qc_filter_masks_fused(
         too_big = jnp.zeros(K, bool)
     tb_f = too_big.astype(jnp.float32)
     n2 = jnp.where(too_big, 0.0, n)
-    present = (n2 > 0) & valid_col
+    present = n2 > 0
     ext = jnp.where(
         present, jnp.maximum(ymax - ymin, xmax - xmin) + 1.0, 0.0
     )
@@ -451,14 +451,16 @@ def qc_filter_masks_fused(
     cy = sy / jnp.maximum(n, 1.0)
     cx = sx / jnp.maximum(n, 1.0)
 
-    # sweep 2: size filter + per-pixel centroid distance + per-instance dmin
+    # sweep 2: size/overflow filter + per-pixel centroid distance +
+    # per-instance dmin. Overflow ids (> K) are zeroed here so every
+    # later sweep (and both output paths) sees a consistent label set.
     def s2(c, acc):
         ids_f, d_all, dmin = acc
         sl, yc, xc = slc(ids, c), slc(yy, c), slc(xx, c)
         M = match(sl)
         Mf = M.astype(jnp.float32)
         tbp = (Mf * tb_f[None, :]).sum(1) > 0
-        sl_f = jnp.where(tbp, 0, sl)
+        sl_f = jnp.where(tbp | (sl > K), 0, sl)
         fg2 = sl_f > 0
         M2 = M & (~too_big)[None, :]
         M2f = M2.astype(jnp.float32)
@@ -472,11 +474,13 @@ def qc_filter_masks_fused(
 
     ids_f, d_all, dmin = jax.lax.fori_loop(
         0, nchunk, s2,
-        (jnp.zeros(HW, jnp.int32), jnp.full(HW, big), jnp.full(K, big)),
+        (jnp.zeros(HWp, jnp.int32), jnp.full(HWp, big), jnp.full(K, big)),
     )
-    ids2d = ids_f.reshape(H, W)
+    ids2d = ids_f[:HW].reshape(H, W)
 
-    dense_val = (K - jnp.arange(K, dtype=jnp.float32))  # ascending by id
+    # column j holds id j+1 (ascending), so the ascending-by-id dense
+    # relabel value for column j is simply j+1
+    dense_val = jnp.arange(1, K + 1, dtype=jnp.float32)
 
     def densify_sweep(sl_f, good_f):
         Mf = match(sl_f).astype(jnp.float32)
@@ -485,7 +489,7 @@ def qc_filter_masks_fused(
     if flow_threshold is None or flow_threshold <= 0:
         if not dense_output:
             return ids2d
-        ok_f = ((n2 > 0) & valid_col).astype(jnp.float32)
+        ok_f = present.astype(jnp.float32)
 
         def s6a(c, out):
             sl_f = slc(ids_f, c)
@@ -494,8 +498,8 @@ def qc_filter_masks_fused(
             )
 
         return jax.lax.fori_loop(
-            0, nchunk, s6a, jnp.zeros(HW, jnp.int16)
-        ).reshape(H, W)
+            0, nchunk, s6a, jnp.zeros(HWp, jnp.int16)
+        )[:HW].reshape(H, W)
 
     # sweep 3: per-instance lowest flat index among nearest-to-centroid
     def s3(c, idxmin):
@@ -523,15 +527,15 @@ def qc_filter_masks_fused(
         )
         return jax.lax.dynamic_update_slice_in_dim(center, cen, c * C, 0)
 
-    center_map = jax.lax.fori_loop(0, nchunk, s4, jnp.zeros(HW)).reshape(
-        H, W
-    )
+    center_map = jax.lax.fori_loop(0, nchunk, s4, jnp.zeros(HWp))[
+        :HW
+    ].reshape(H, W)
 
     T = _diffuse_dyn(ids2d, center_map, niter_qc)
     mu = grad_from_T(ids2d, T)
 
     # sweep 5: per-instance flow-error sums
-    err_map = (
+    err_map = padded(
         ((mu - dP.astype(jnp.float32) / 5.0) ** 2).sum(axis=0).ravel()
     )
 
@@ -544,8 +548,7 @@ def qc_filter_masks_fused(
     bad = s_e / jnp.maximum(n2, 1.0) > flow_threshold
     good_f = (present & ~bad).astype(jnp.float32)
 
-    # sweep 6: keep only pixels of passing instances (unmatched overflow
-    # ids match no column and are dropped)
+    # sweep 6: keep only pixels of passing instances
     if dense_output:
         def s6(c, out):
             sl_f = slc(ids_f, c)
@@ -554,8 +557,8 @@ def qc_filter_masks_fused(
             )
 
         return jax.lax.fori_loop(
-            0, nchunk, s6, jnp.zeros(HW, jnp.int16)
-        ).reshape(H, W)
+            0, nchunk, s6, jnp.zeros(HWp, jnp.int16)
+        )[:HW].reshape(H, W)
 
     def s6(c, out):
         sl_f = slc(ids_f, c)
@@ -566,8 +569,8 @@ def qc_filter_masks_fused(
         )
 
     return jax.lax.fori_loop(
-        0, nchunk, s6, jnp.zeros(HW, jnp.int32)
-    ).reshape(H, W)
+        0, nchunk, s6, jnp.zeros(HWp, jnp.int32)
+    )[:HW].reshape(H, W)
 
 
 def qc_prepare(raw: jnp.ndarray, max_size_fraction: float = 0.4):
@@ -754,6 +757,17 @@ def compute_masks(
     Device portion (Euler + clustering + flow QC) is jitted; host portion
     does sequential relabeling and hole filling. Returns (H, W) int32.
     """
+    # diagnosability of the STEP_CAP deviation (cellpose steps2D_interp has
+    # no clamp): flag inputs where the per-step clamp would actually bind —
+    # |dP| > 5·STEP_CAP only happens for untrained/corrupted flows
+    if logger.isEnabledFor(10):  # DEBUG: host-side max|dP| readback
+        peak = float(np.abs(np.asarray(dP)).max())
+        if peak > 5.0 * STEP_CAP:
+            logger.debug(
+                "flow magnitude %.1f exceeds 5*STEP_CAP=%.1f: Euler steps "
+                "are clamped and integration deviates from cellpose",
+                peak, 5.0 * STEP_CAP,
+            )
     if device is not None:
         dP = jax.device_put(np.asarray(dP, np.float32), device)
         cellprob = jax.device_put(np.asarray(cellprob, np.float32), device)

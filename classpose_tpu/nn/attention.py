@@ -113,6 +113,111 @@ def flash_attention_relpos(
     return out.reshape(B, n, L, hd)
 
 
+def _attn_kernel_blc(q_ref, k_ref, v_ref, rel_ref, o_ref, *, scale, hd,
+                     grid_h, grid_w):
+    """Attention for a PAIR of heads whose q/k/v live side by side in one
+    128-lane block sliced straight out of the (B, L, 3C) qkv tensor — the
+    layout the qkv Dense naturally produces (a free reshape of
+    (B, H, W, 3C)). The former kernel wanted (B·n, L, hd) inputs, which
+    cost ~270 ms/batch of XLA transposes per ViT forward just to feed it
+    (ROADMAP r2 profile); here the BlockSpec index maps do the slicing in
+    the DMA and no relayout ever materializes in HBM. Mosaic requires
+    128-divisible last block dims, hence the head pairing (2·hd = 128).
+    Per-head math is identical to :func:`_attn_kernel`."""
+    L = q_ref.shape[0]
+    pair = q_ref.shape[1] // hd
+    rel_step = rel_ref.shape[1] // pair  # = grid_h + grid_w per head
+    for h in range(pair):
+        q = q_ref[:, h * hd:(h + 1) * hd]  # (L, hd)
+        k = k_ref[:, h * hd:(h + 1) * hd]
+        v = v_ref[:, h * hd:(h + 1) * hd]
+        rh = rel_ref[:, h * rel_step:h * rel_step + grid_h].astype(
+            jnp.float32
+        )  # (L, H)
+        rw = rel_ref[
+            :, h * rel_step + grid_h:(h + 1) * rel_step
+        ].astype(jnp.float32)  # (L, W)
+
+        s = jax.lax.dot_general(
+            q, k,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (L, L)
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (grid_h, L), 0)
+        cols_h = jax.lax.broadcasted_iota(jnp.int32, (grid_h, L), 1) \
+            // grid_w
+        expand = (rows == cols_h).astype(jnp.float32)
+        bias_h = jax.lax.dot(rh, expand,
+                             preferred_element_type=jnp.float32)
+        bias_w = pltpu.repeat(rw, L // grid_w, axis=1)
+        s = s + bias_h + bias_w
+
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=1, keepdims=True)
+        p = (p / denom).astype(v.dtype)
+        o = jax.lax.dot(p, v, preferred_element_type=jnp.float32)
+        o_ref[:, h * hd:(h + 1) * hd] = o.astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("scale", "grid_hw", "interpret"))
+def flash_attention_relpos_blc(
+    qkv: jnp.ndarray,
+    rel_h: jnp.ndarray,
+    rel_w: jnp.ndarray,
+    scale: float,
+    grid_hw: tuple[int, int] = (32, 32),
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Attention in the token-major layout: qkv (B, L, 3, n, hd) as the
+    qkv projection emits it, rel_h (B, L, n, H), rel_w (B, L, n, W).
+    Returns (B, L, n, hd) — a free reshape away from the (B, H, W, C)
+    input of the output projection. Same math as
+    :func:`flash_attention_relpos` (shared kernel body); heads are
+    processed in pairs so every HBM block slice is 128 lanes wide."""
+    B, L, three, n, hd = qkv.shape
+    assert three == 3
+    H, W = grid_hw
+    assert L == H * W, (L, H, W)
+    pair = max(1, 128 // hd)
+    assert n % pair == 0 and (hd * pair) % 128 == 0, (n, hd)
+    np_blk = n // pair          # number of head-pair blocks
+    bw = hd * pair              # qkv block width (128 for hd=64)
+    nh = (n * hd) // bw         # blocks per q/k/v section
+
+    qkv2 = qkv.reshape(B, L, 3 * n * hd)          # free
+    # rel layout: per head [rel_h | rel_w] (H+W wide), heads consecutive —
+    # a pair block is pair·(H+W) wide (=128 for the SAM 32×32 grid)
+    rel = jnp.concatenate([rel_h, rel_w], axis=-1).reshape(
+        B, L, n * (H + W)
+    )
+    rw_blk = pair * (H + W)
+
+    out = pl.pallas_call(
+        partial(_attn_kernel_blc, scale=scale, hd=hd, grid_h=H, grid_w=W),
+        out_shape=jax.ShapeDtypeStruct((B, L, n * hd), qkv.dtype),
+        grid=(B, np_blk),
+        in_specs=[
+            pl.BlockSpec((None, L, bw), lambda b, p: (b, 0, p),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, L, bw), lambda b, p: (b, 0, nh + p),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, L, bw), lambda b, p: (b, 0, 2 * nh + p),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, L, rw_blk), lambda b, p: (b, 0, p),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, L, bw), lambda b, p: (b, 0, p),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qkv2, qkv2, qkv2, rel)
+    return out.reshape(B, L, n, hd)
+
+
 def attention_reference(q, k, v, rel_h, rel_w, scale):
     """XLA reference for parity testing of the kernel."""
     B, n, L, hd = q.shape

@@ -117,11 +117,6 @@ class Attention(nn.Module):
         scale = head_dim**-0.5
 
         qkv = nn.Dense(3 * C, use_bias=True, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(B, L, 3, self.num_heads, head_dim)
-        q, k, v = jnp.moveaxis(qkv, 2, 0)  # (B, L, heads, hd) each
-        q = jnp.swapaxes(q, 1, 2)  # (B, heads, L, hd)
-        k = jnp.swapaxes(k, 1, 2)
-        v = jnp.swapaxes(v, 1, 2)
 
         use_pallas = (
             self.allow_pallas
@@ -132,6 +127,11 @@ class Attention(nn.Module):
             and head_dim % 64 == 0
         )
         if use_pallas:
+            # token-major path: qkv stays in the (B, L, 3, n, hd) layout
+            # the projection emits (free reshapes only); the kernel's
+            # BlockSpec index maps slice per-(batch, head) q/k/v in the
+            # DMA, so no transpose ever materializes (ROADMAP r2: the
+            # (B, n, L, hd) relayouts cost ~270 ms per 4-tile batch)
             rel_pos_h = self.param(
                 "rel_pos_h", nn.initializers.zeros,
                 (2 * self.input_size[0] - 1, head_dim), jnp.float32,
@@ -142,20 +142,29 @@ class Attention(nn.Module):
             )
             Rh = get_rel_pos(H, H, rel_pos_h).astype(self.dtype)
             Rw = get_rel_pos(W, W, rel_pos_w).astype(self.dtype)
-            q_hw = q.reshape(B, self.num_heads, H, W, head_dim)
-            rel_h = jnp.einsum("bnhwc,hkc->bnhwk", q_hw, Rh).reshape(
-                B, self.num_heads, L, H
+            qkv5 = qkv.reshape(B, L, 3, self.num_heads, head_dim)
+            q_hw = qkv.reshape(B, H, W, 3, self.num_heads, head_dim)[
+                :, :, :, 0
+            ]
+            rel_h = jnp.einsum("bhwnc,hkc->bhwnk", q_hw, Rh).reshape(
+                B, L, self.num_heads, H
             )
-            rel_w = jnp.einsum("bnhwc,wkc->bnhwk", q_hw, Rw).reshape(
-                B, self.num_heads, L, W
+            rel_w = jnp.einsum("bhwnc,wkc->bhwnk", q_hw, Rw).reshape(
+                B, L, self.num_heads, W
             )
-            from classpose_tpu.nn.attention import flash_attention_relpos
+            from classpose_tpu.nn.attention import flash_attention_relpos_blc
 
-            out = flash_attention_relpos(
-                q, k, v, rel_h, rel_w, float(scale), grid_hw=(H, W)
+            out = flash_attention_relpos_blc(
+                qkv5, rel_h, rel_w, float(scale), grid_hw=(H, W)
             )
-            out = jnp.swapaxes(out, 1, 2).reshape(B, H, W, C)
+            out = out.reshape(B, H, W, C)
             return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
+        qkv = qkv.reshape(B, L, 3, self.num_heads, head_dim)
+        q, k, v = jnp.moveaxis(qkv, 2, 0)  # (B, L, heads, hd) each
+        q = jnp.swapaxes(q, 1, 2)  # (B, heads, L, hd)
+        k = jnp.swapaxes(k, 1, 2)
+        v = jnp.swapaxes(v, 1, 2)
 
         # at bf16, keep the L×L logits in bf16 (the MXU still accumulates
         # fp32 internally); materializing them in fp32 doubles the HBM

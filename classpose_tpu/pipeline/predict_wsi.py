@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
@@ -114,6 +115,8 @@ class DeviceWorker:
         self.n_tiles = 0
         self.n_invalid = 0
         self.infer_seconds = 0.0  # cumulative device-path time (§5.1 timers)
+        # two inference threads update infer_seconds concurrently
+        self._stats_lock = threading.Lock()
 
         devices = devices or [jax.devices()[0]]
         batched = hasattr(model, "eval_batch")
@@ -162,7 +165,8 @@ class DeviceWorker:
         masks, flows, class_masks, _ = self._eval(
             model, tile, coords, out_size
         )
-        self.infer_seconds += time.time() - t0
+        with self._stats_lock:
+            self.infer_seconds += time.time() - t0
         cm = (
             class_masks[:out_size, :out_size]
             if self.labels is not None
@@ -245,6 +249,17 @@ class DeviceWorker:
         (ClassposeModel.eval_batch); returns a list of post-proc futures."""
         t0 = time.time()
         tiles = np.stack([t for t, _, _ in items])
+        n = len(items)
+        if n < self.tile_batch:
+            # pad partial (tail) buckets by repeating the last tile so the
+            # whole slide compiles exactly ONE fused program per
+            # (bucket size, tile_batch) — a fresh batch shape would mean a
+            # fresh minutes-long ViT-L compile for the tail of every slide
+            # (the reference keeps one compiled program per worker,
+            # predict_wsi.py:726-798)
+            tiles = np.concatenate(
+                [tiles, np.repeat(tiles[-1:], self.tile_batch - n, axis=0)]
+            )
         results = model.eval_batch(
             tiles,
             batch_size=self.batch_size,
@@ -255,8 +270,9 @@ class DeviceWorker:
             min_size=self.min_size,
             qc_downsample=self.qc_downsample,
             percentile_subsample=self.percentile_subsample,
-        )
-        self.infer_seconds += time.time() - t0
+        )[:n]
+        with self._stats_lock:
+            self.infer_seconds += time.time() - t0
         futs = []
         for (tile, coords, out_size), (masks, cm) in zip(items, results):
             futs.append(

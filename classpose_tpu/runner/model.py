@@ -27,8 +27,16 @@ from classpose_tpu.ops.normalize import NORMALIZE_DEFAULT, normalize_img
 from classpose_tpu.runner.core import TileRunner, chunk_plan
 
 models_logger = get_logger(__name__)
+logger = models_logger
 
 PRECISION_DTYPES = {"fp32": "float32", "bf16": "bfloat16", "fp16": "bfloat16"}
+
+# column count of the one-hot segment-reduce QC (dynamics/masks.py
+# qc_filter_masks_fused). 4096 covers the densest real histology tiles
+# (~4000 nuclei on a 1024² tile at 0.25 MPP in tumor regions); tiles that
+# still overflow are detected from the device-computed seed count and
+# re-run through the unbounded scatter QC.
+QC_MAX_INSTANCES = 4096
 
 
 def resolve_precision(precision: str) -> str:
@@ -770,7 +778,7 @@ class ClassposeModel:
     def _eval_batch_fused(
         self, tiles, B0, batch_size, augment, niter, flow_threshold,
         cellprob_threshold, min_size, max_size_fraction,
-        percentile_subsample,
+        percentile_subsample, force_scatter_qc=False,
     ):
         from classpose_tpu.dynamics.masks import (
             densify_labels,
@@ -780,7 +788,8 @@ class ClassposeModel:
         B, S = tiles.shape[0], tiles.shape[1]
         key = ("fused", B, S, batch_size, niter, percentile_subsample,
                cellprob_threshold, augment, float(flow_threshold or 0.0),
-               float(max_size_fraction or 0.0), str(tiles.dtype))
+               float(max_size_fraction or 0.0), str(tiles.dtype),
+               bool(force_scatter_qc))
         if key not in self._runners:
             with self._build_lock:
                 if key not in self._runners:
@@ -788,18 +797,38 @@ class ClassposeModel:
                         B, S, batch_size, niter, percentile_subsample,
                         cellprob_threshold, augment, flow_threshold,
                         max_size_fraction,
+                        force_scatter_qc=force_scatter_qc,
                     )
         xt = (
             jax.device_put(tiles, self._tile_sharding)
             if self._mesh is not None
             else jnp.asarray(tiles)
         )
-        class_pix, raw = self._runners[key](xt)
+        class_pix, raw, n_inst = self._runners[key](xt)
         raw = np.asarray(raw)
+        n_inst = np.asarray(n_inst)
         class_pix = np.asarray(class_pix) if self.nclasses > 1 else None
 
         out = []
         for i in range(B0):
+            if raw.dtype == np.int16 and n_inst[i] > QC_MAX_INSTANCES:
+                # the one-hot QC dropped ids beyond its K columns — redo
+                # this (pathological, >K instances) tile through the
+                # scatter-QC program, which has no instance-count bound
+                logger.warning(
+                    "tile %d has %d instances (> max_instances=%d): "
+                    "re-running with the unbounded scatter QC",
+                    i, int(n_inst[i]), QC_MAX_INSTANCES,
+                )
+                out.append(
+                    self._eval_batch_fused(
+                        tiles[i : i + 1], 1, batch_size, augment, niter,
+                        flow_threshold, cellprob_threshold, min_size,
+                        max_size_fraction, percentile_subsample,
+                        force_scatter_qc=True,
+                    )[0]
+                )
+                continue
             if raw.dtype == np.int16:
                 # device already produced dense ascending labels
                 masks = raw[i].astype(np.int32)
@@ -820,7 +849,8 @@ class ClassposeModel:
 
     def _build_batched_fused(self, B, S, batch_size, niter,
                              percentile_subsample, cellprob_threshold,
-                             augment, flow_threshold, max_size_fraction):
+                             augment, flow_threshold, max_size_fraction,
+                             force_scatter_qc=False):
         from classpose_tpu.dynamics.masks import (
             follow_flows_batched,
             get_masks_from_positions,
@@ -834,14 +864,15 @@ class ClassposeModel:
         # pick per backend at build time (results agree; equivalence is
         # pinned by tests/test_dynamics.py::test_qc_fused_matches_scatter).
         # CLASSPOSE_QC_ONEHOT=1/0 overrides (tests force the TPU path on
-        # the CPU backend with it)
+        # the CPU backend with it); force_scatter_qc is the overflow
+        # fallback for tiles with more than QC_MAX_INSTANCES instances
         import os as _os
 
         _ov = _os.environ.get("CLASSPOSE_QC_ONEHOT")
         qc_onehot = (
             _ov == "1" if _ov in ("0", "1")
             else jax.default_backend() == "tpu"
-        )
+        ) and not force_scatter_qc
         from classpose_tpu.ops.normalize import normalize_img
         from classpose_tpu.ops.tiles import (
             average_tiles_separable as average_tiles,
@@ -905,9 +936,11 @@ class ClassposeModel:
             return class_pix, dP, iscell
 
         def batched(x):
-            # follow_flows runs OUTSIDE the per-tile vmap so its per-pass
-            # shift-vs-gather lax.cond stays a real branch (inside a vmap
-            # it would lower to a select executing both sides)
+            # follow_flows_batched is natively batched and jitted with
+            # static (niter, shift_min_size); running it outside the
+            # per-tile vmap keeps one fused integration program over the
+            # whole batch (the per-pass sampler choice is a static
+            # trace-time branch on the displacement bound)
             class_pix, dP, iscell = jax.vmap(per_tile)(x)
             p = follow_flows_batched(dP, iscell, niter=niter)
             raw, seed_lab = jax.vmap(
@@ -915,17 +948,22 @@ class ClassposeModel:
                     pp, ii, return_seeds=True
                 )
             )(p, iscell)
+            # seed ids are dense ranks, so the per-tile instance count is
+            # just the max seed id — the host uses it to detect overflow
+            # past the one-hot QC's K columns
+            n_inst = seed_lab.max(axis=(1, 2))
             if qc_onehot:
                 # dense int16 labels halve the device→host bytes and let
                 # the host skip its densify pass (ascending-by-id order
                 # keeps the final sequential relabeling identical)
                 raw = jax.vmap(
-                    lambda r, s, d: qc_filter_masks_fused(
-                        r, s, d, flow_threshold=flow_threshold,
+                    lambda r, d: qc_filter_masks_fused(
+                        r, d, flow_threshold=flow_threshold,
                         max_size_fraction=max_size_fraction,
+                        max_instances=QC_MAX_INSTANCES,
                         dense_output=True,
                     )
-                )(raw, seed_lab, dP)
+                )(raw, dP)
             else:
                 raw = jax.vmap(
                     lambda r, d: qc_filter_masks(
@@ -933,13 +971,13 @@ class ClassposeModel:
                         max_size_fraction=max_size_fraction,
                     )
                 )(raw, dP)
-            return class_pix, raw
+            return class_pix, raw, n_inst
 
         return jax.jit(batched)
 
     def _build_batched(self, B, S, batch_size, niter, percentile_subsample,
                        cellprob_threshold=0.0, augment=False):
-        from classpose_tpu.dynamics.masks import follow_flows
+        from classpose_tpu.dynamics.masks import follow_flows_batched
         from classpose_tpu.ops.normalize import normalize_img
         from classpose_tpu.ops.tiles import (
             average_tiles_separable as average_tiles,
@@ -997,7 +1035,14 @@ class ClassposeModel:
             dP = yf[:2]
             cellprob = yf[2]
             iscell = cellprob > cellprob_threshold
-            p = follow_flows(dP, iscell, niter=niter)
+            return ycf, dP, iscell
+
+        def batched(x):
+            # same structure as the fused path: the natively-batched
+            # integration runs once over the whole batch, outside the
+            # per-tile vmap
+            ycf, dP, iscell = jax.vmap(per_tile)(x)
+            p = follow_flows_batched(dP, iscell, niter=niter)
             return ycf, p, iscell, dP
 
-        return jax.jit(jax.vmap(per_tile))
+        return jax.jit(batched)

@@ -13,6 +13,7 @@ import pytest
 from classpose_tpu.nn.attention import (
     attention_reference,
     flash_attention_relpos,
+    flash_attention_relpos_blc,
 )
 
 B, n, H, W, hd = 1, 2, 8, 8, 64
@@ -64,5 +65,34 @@ def test_kernel_matches_reference(name, rh_fn, rw_fn):
     ref = attention_reference(q, k, v, rh, rw, hd**-0.5)
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-3, rtol=2e-3,
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_blc_kernel_matches_reference(seed):
+    """The token-major (B, L, 3, n, hd) kernel must match the reference
+    (and hence the (B·n, L, hd) kernel) on random inputs — it is the
+    production layout that avoids the feeding transposes entirely."""
+    rng = np.random.default_rng(seed)
+    qkv = jnp.asarray(rng.normal(size=(B, L, 3, n, hd)), jnp.float32)
+    rel_h = jnp.asarray(rng.normal(size=(B, L, n, H)) * 2, jnp.float32)
+    rel_w = jnp.asarray(rng.normal(size=(B, L, n, W)) * 2, jnp.float32)
+
+    out = flash_attention_relpos_blc(
+        qkv, rel_h, rel_w, hd**-0.5, grid_hw=(H, W), interpret=True
+    )
+    assert out.shape == (B, L, n, hd)
+
+    # re-layout to the reference convention (B, n, L, hd)
+    q, k, v = [
+        jnp.swapaxes(qkv[:, :, j], 1, 2) for j in range(3)
+    ]
+    rh = jnp.swapaxes(rel_h, 1, 2)
+    rw = jnp.swapaxes(rel_w, 1, 2)
+    ref = attention_reference(q, k, v, rh, rw, hd**-0.5)
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(out, 1, 2), np.float32),
+        np.asarray(ref, np.float32),
         atol=2e-3, rtol=2e-3,
     )

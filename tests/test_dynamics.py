@@ -296,15 +296,31 @@ def test_qc_fused_matches_scatter():
     iscell = jnp.asarray(cellprob > 0)
     p = follow_flows(jnp.asarray(dP), iscell, niter=200)
     raw, seeds = get_masks_from_positions(p, iscell, return_seeds=True)
+    # ids are dense seed ranks — the fused QC enumerates them as 1..K
+    assert int(jnp.max(seeds)) == int(jnp.max(raw))
 
     a = np.asarray(qc_filter_masks(raw, jnp.asarray(dP), 0.4, 0.4))
     b = np.asarray(
-        qc_filter_masks_fused(
-            raw, seeds, jnp.asarray(dP), 0.4, 0.4, chunk=2048
-        )
+        qc_filter_masks_fused(raw, jnp.asarray(dP), 0.4, 0.4, chunk=2048)
     )
     assert np.array_equal(a, b)
     assert a.max() > 0  # real disks survived
+
+    # non-divisible geometry (H*W % chunk != 0) takes the zero-padded
+    # chunked path and must agree with the scatter QC too (ADVICE r2)
+    H2 = 120
+    raw_odd, dP_odd = raw[:H2], jnp.asarray(dP)[:, :H2]
+    a_odd = np.asarray(qc_filter_masks(raw_odd, dP_odd, 0.4, 0.4))
+    b_odd = np.asarray(
+        qc_filter_masks_fused(raw_odd, dP_odd, 0.4, 0.4, chunk=2048)
+    )
+    assert np.array_equal(a_odd, b_odd)
+    d_odd = np.asarray(
+        qc_filter_masks_fused(
+            raw_odd, dP_odd, 0.4, 0.4, chunk=2048, dense_output=True
+        )
+    )
+    assert d_odd.dtype == np.int16
 
     # dense_output: same partition, labels densified ascending-by-id on
     # device (int16) — must match the host densify of the raw-id output
@@ -312,7 +328,7 @@ def test_qc_fused_matches_scatter():
 
     d = np.asarray(
         qc_filter_masks_fused(
-            raw, seeds, jnp.asarray(dP), 0.4, 0.4, chunk=2048,
+            raw, jnp.asarray(dP), 0.4, 0.4, chunk=2048,
             dense_output=True,
         )
     )
@@ -324,15 +340,32 @@ def test_qc_fused_matches_scatter():
     big = np.zeros((128, 128), np.int32)
     big[4:124, 4:124] = 77
     big[2, 2] = 5  # also a tiny one
-    seeds_big = np.zeros_like(big)
-    seeds_big[60, 60] = 77
-    seeds_big[2, 2] = 5
     dp0 = np.zeros((2, 128, 128), np.float32)
     a2 = np.asarray(qc_filter_masks(jnp.asarray(big), jnp.asarray(dp0),
                                     0.0, 0.4))
     b2 = np.asarray(
-        qc_filter_masks_fused(jnp.asarray(big), jnp.asarray(seeds_big),
-                              jnp.asarray(dp0), 0.0, 0.4, chunk=2048)
+        qc_filter_masks_fused(jnp.asarray(big), jnp.asarray(dp0),
+                              0.0, 0.4, chunk=2048)
     )
     assert np.array_equal(a2, b2)
     assert 77 not in a2 and 5 in a2
+
+    # overflow ids (> max_instances) are dropped consistently in BOTH the
+    # raw-id and dense output paths (ADVICE r2: the two used to diverge)
+    ov = np.zeros((64, 64), np.int32)
+    ov[5:15, 5:15] = 3       # in range
+    ov[30:40, 30:40] = 9000  # beyond K=64
+    dp_ov = np.zeros((2, 64, 64), np.float32)
+    r_raw = np.asarray(
+        qc_filter_masks_fused(jnp.asarray(ov), jnp.asarray(dp_ov),
+                              0.0, 0.4, max_instances=64, chunk=2048)
+    )
+    r_dense = np.asarray(
+        qc_filter_masks_fused(jnp.asarray(ov), jnp.asarray(dp_ov),
+                              0.0, 0.4, max_instances=64, chunk=2048,
+                              dense_output=True)
+    )
+    assert 9000 not in r_raw and 3 in r_raw
+    # dense output is ascending-by-id (sequential relabel happens on host)
+    assert set(np.unique(r_dense)) == {0, 3}
+    assert np.array_equal(r_raw > 0, r_dense > 0)

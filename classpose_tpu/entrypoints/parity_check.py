@@ -254,7 +254,11 @@ def main_with_args(argv=None):
         "checkpoint (per-layer logits + end-to-end masks)."
     )
     p.add_argument("--checkpoint", required=True,
-                   help="torch .pt/.pth state dict or converted .npz")
+                   help="torch .pt/.pth state dict or converted .npz — or "
+                   "a DIRECTORY of checkpoints, validated in one run with "
+                   "a consolidated report (so the moment real published "
+                   "weights are reachable, the full validation is one "
+                   "command)")
     p.add_argument("--tiles", default=None,
                    help=".npy (N,H,W,3) fixed tile set; default synthetic")
     p.add_argument("--n_tiles", type=int, default=2)
@@ -277,19 +281,50 @@ def main_with_args(argv=None):
         np.load(args.reference_class_masks)
         if args.reference_class_masks else None
     )
-    report = run_parity(
-        args.checkpoint, tiles, reference_masks=ref,
-        reference_class_masks=refc, atol=args.atol, niter=args.niter,
-    )
+
+    def summarize(rep):
+        return {
+            "final_logits_max_diff": (
+                rep.get("per_layer") or {}
+            ).get("final_logits_max_diff"),
+            "logit_parity_pass": rep.get("logit_parity_pass"),
+            "detection_f1": (rep.get("detection") or {}).get("f1"),
+        }
+
+    ckpt = Path(args.checkpoint)
+    if ckpt.is_dir():
+        # consolidated multi-checkpoint run (VERDICT r2 item 10)
+        paths = sorted(
+            p for p in ckpt.iterdir()
+            if p.suffix in (".pt", ".pth", ".npz")
+        )
+        if not paths:
+            raise SystemExit(f"no .pt/.pth/.npz checkpoints in {ckpt}")
+        report = {"checkpoints": {}, "summary": {}}
+        for pth in paths:
+            logger.info("parity-checking %s", pth.name)
+            try:
+                rep = run_parity(
+                    str(pth), tiles, reference_masks=ref,
+                    reference_class_masks=refc, atol=args.atol,
+                    niter=args.niter,
+                )
+            except Exception as exc:  # keep going; report the failure
+                rep = {"error": f"{type(exc).__name__}: {exc}"}
+            report["checkpoints"][pth.name] = rep
+            report["summary"][pth.name] = (
+                summarize(rep) if "error" not in rep
+                else {"error": rep["error"]}
+            )
+        summary = report["summary"]
+    else:
+        report = run_parity(
+            str(ckpt), tiles, reference_masks=ref,
+            reference_class_masks=refc, atol=args.atol, niter=args.niter,
+        )
+        summary = summarize(report)
     Path(args.output).write_text(json.dumps(report, indent=2, default=str))
     logger.info("parity report → %s", args.output)
-    summary = {
-        "final_logits_max_diff": (
-            report.get("per_layer") or {}
-        ).get("final_logits_max_diff"),
-        "logit_parity_pass": report.get("logit_parity_pass"),
-        "detection_f1": (report.get("detection") or {}).get("f1"),
-    }
     print(json.dumps(summary))
     return report
 

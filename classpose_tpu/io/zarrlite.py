@@ -1,13 +1,16 @@
 """Minimal Zarr-v2 directory-store writer (no zarr dependency).
 
-Supports what the SpatialData export needs: groups with attributes and
-C-order numpy arrays with zlib-compressed chunks. Readable by any zarr v2
-implementation (compressor id "zlib").
+Supports what the SpatialData export needs: groups with attributes,
+C-order numpy arrays with zlib-compressed chunks, and variable-length
+UTF-8 string arrays using the standard numcodecs ``vlen-utf8`` filter —
+so a stock zarr/numcodecs (and hence anndata/spatialdata) installation
+opens every array in the store.
 """
 
 from __future__ import annotations
 
 import json
+import struct
 import zlib
 from pathlib import Path
 
@@ -18,6 +21,29 @@ _DTYPE_MAP = {
     "uint8": "|u1", "int8": "|i1", "bool": "|b1", "uint32": "<u4",
     "uint64": "<u8", "float16": "<f2", "int16": "<i2", "uint16": "<u2",
 }
+
+
+def _vlen_utf8_encode(strings: list[str]) -> bytes:
+    """numcodecs VLenUTF8 chunk encoding: LE uint32 item count, then per
+    item LE uint32 byte length + utf-8 payload."""
+    parts = [struct.pack("<I", len(strings))]
+    for s in strings:
+        b = s.encode("utf-8")
+        parts.append(struct.pack("<I", len(b)))
+        parts.append(b)
+    return b"".join(parts)
+
+
+def _vlen_utf8_decode(buf: bytes) -> list[str]:
+    (n,) = struct.unpack_from("<I", buf, 0)
+    off = 4
+    out = []
+    for _ in range(n):
+        (ln,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        out.append(buf[off : off + ln].decode("utf-8"))
+        off += ln
+    return out
 
 
 class ZarrGroup:
@@ -34,6 +60,35 @@ class ZarrGroup:
     def group(self, name: str, attrs: dict | None = None) -> "ZarrGroup":
         return ZarrGroup(self.path / name, attrs)
 
+    def string_array(
+        self,
+        name: str,
+        strings: list[str],
+        attrs: dict | None = None,
+    ) -> None:
+        """1-D variable-length string array (zarr v2 object dtype with the
+        numcodecs ``vlen-utf8`` filter — the encoding anndata/zarr use for
+        string columns). Single chunk (string columns here are small)."""
+        strings = [str(s) for s in strings]
+        adir = self.path / name
+        adir.mkdir(parents=True, exist_ok=True)
+        meta = {
+            "zarr_format": 2,
+            "shape": [len(strings)],
+            "chunks": [max(len(strings), 1)],
+            "dtype": "|O",
+            "compressor": {"id": "zlib", "level": 4},
+            "fill_value": None,
+            "order": "C",
+            "filters": [{"id": "vlen-utf8"}],
+        }
+        (adir / ".zarray").write_text(json.dumps(meta))
+        if attrs:
+            (adir / ".zattrs").write_text(json.dumps(attrs, default=str))
+        (adir / "0").write_bytes(
+            zlib.compress(_vlen_utf8_encode(strings), 4)
+        )
+
     def array(
         self,
         name: str,
@@ -43,10 +98,11 @@ class ZarrGroup:
     ) -> None:
         data = np.ascontiguousarray(data)
         if data.dtype.kind in ("U", "S", "O"):
-            # store strings as JSON sidecar + uint8 utf-8 blob per element
-            as_list = [str(x) for x in data.ravel().tolist()]
-            blob = json.dumps(as_list).encode()
-            data = np.frombuffer(blob, np.uint8)
+            # string data → standard vlen-utf8 encoding
+            self.string_array(
+                name, [str(x) for x in data.ravel().tolist()], attrs
+            )
+            return
         if chunks is None:
             chunks = tuple(min(s, 1_048_576 if data.ndim == 1 else 4096)
                            for s in data.shape)
@@ -97,11 +153,22 @@ class ZarrGroup:
 
 
 def read_zarr_array(path: str | Path) -> np.ndarray:
-    """Tiny reader for round-trip tests."""
+    """Tiny reader for round-trip tests (numeric + vlen-utf8 arrays)."""
     path = Path(path)
     meta = json.loads((path / ".zarray").read_text())
     shape = tuple(meta["shape"])
     chunks = tuple(meta["chunks"])
+    if meta.get("filters") and any(
+        f.get("id") == "vlen-utf8" for f in meta["filters"]
+    ):
+        strings: list[str] = []
+        for i in range(-(-shape[0] // chunks[0]) if shape[0] else 0):
+            f = path / str(i)
+            if f.exists():
+                strings.extend(
+                    _vlen_utf8_decode(zlib.decompress(f.read_bytes()))
+                )
+        return np.asarray(strings[: shape[0]], dtype=object)
     dtype = np.dtype(meta["dtype"])
     out = np.zeros(shape, dtype)
     import itertools

@@ -124,6 +124,56 @@ def normalize_img(
     return out
 
 
+TILE_NORM_OVERLAP = 0.1  # cellpose tile_overlap for normalization blocks
+TILE_NORM_SMOOTH_SIGMA = 1.0  # gaussian sigma over the block-stat grid
+_SMOOTH_TRUNCATE = 4.0  # scipy.ndimage.gaussian_filter default
+
+
+def tile_grid_starts(L: int, blocksize: int,
+                     overlap: float = TILE_NORM_OVERLAP) -> np.ndarray:
+    """Overlapping block starts for tiled normalization (cellpose
+    normalize99_tile grid: ``ceil((1+2·overlap)·L/bs)`` blocks spread by
+    linspace so neighbors overlap ~2·overlap·bs)."""
+    if L <= blocksize:
+        return np.zeros(1, int)
+    n = int(np.ceil((1.0 + 2.0 * overlap) * L / blocksize))
+    return np.linspace(0, L - blocksize, n).astype(int)
+
+
+def _smooth_grid(g: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Gaussian smoothing of the (B, ny, nx, C) block-stat grid over the
+    grid axes — scipy ``gaussian_filter(..., mode="reflect")`` semantics
+    (truncate 4σ, symmetric edge padding)."""
+    radius = int(_SMOOTH_TRUNCATE * sigma + 0.5)
+    if radius < 1:
+        return g
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    k = k / k.sum()
+
+    def conv_axis(a, axis):
+        n = a.shape[axis]
+        if n == 1:
+            return a
+        a = jnp.moveaxis(a, axis, -1)
+        # scipy mode="reflect" duplicates the edge sample = numpy
+        # "symmetric"; pad width may exceed n, so chain pads
+        pad = radius
+        ap = a
+        while pad > 0:
+            p = min(pad, ap.shape[-1] - 1) if ap.shape[-1] > 1 else pad
+            ap = jnp.pad(
+                ap, [(0, 0)] * (ap.ndim - 1) + [(p, p)], mode="symmetric"
+            )
+            pad -= p
+        out = jnp.zeros_like(a)
+        for i in range(2 * radius + 1):
+            out = out + k[i] * ap[..., i : i + n]
+        return jnp.moveaxis(out, -1, axis)
+
+    return conv_axis(conv_axis(g, 1), 2)
+
+
 def _tile_normalize(
     img: jnp.ndarray,
     ax: int,
@@ -132,16 +182,29 @@ def _tile_normalize(
     blocksize: int,
     invert: bool,
 ) -> jnp.ndarray:
-    """Blockwise percentile normalization with bilinear stat interpolation."""
+    """Smoothed blockwise percentile normalization (cellpose
+    ``normalize99_tile`` semantics, used by the reference via
+    ``transforms.normalize_img(tile_norm_blocksize=...)`` at
+    models.py:642-666): overlapping blocks on a
+    ``ceil(1.2·L/bs)``-linspace grid, per-block per-channel percentiles,
+    gaussian smoothing (σ=1 grid cell) of the stat grids, bilinear
+    (half-pixel) upsampling to full resolution, then
+    ``(x − low) / max(high − low, eps)`` per pixel.
+
+    cellpose itself is not importable in this environment, so the exact
+    upstream constants could not be cross-checked against its source;
+    the algorithm here is pinned by a numpy oracle
+    (tests/test_ops.py::test_tile_norm_matches_numpy_oracle) and should
+    be re-validated against real cellpose once network access exists
+    (ROADMAP gap 8)."""
     # operate with channels last
     x = jnp.moveaxis(img, ax, -1)
     *lead, Ly, Lx, C = x.shape
     x2 = x.reshape((-1, Ly, Lx, C))
-    ny = max(1, Ly // blocksize)
-    nx = max(1, Lx // blocksize)
     blocksize = min(blocksize, Ly, Lx)
-    ys = np.linspace(0, Ly - blocksize, ny).astype(int)
-    xs = np.linspace(0, Lx - blocksize, nx).astype(int)
+    ys = tile_grid_starts(Ly, blocksize)
+    xs = tile_grid_starts(Lx, blocksize)
+    ny, nx = len(ys), len(xs)
     lows = jnp.zeros((x2.shape[0], ny, nx, C))
     highs = jnp.zeros_like(lows)
     for j in range(ny):
@@ -156,7 +219,10 @@ def _tile_normalize(
             highs = highs.at[:, j, i].set(
                 jnp.percentile(blk, perc_high, axis=(1, 2))
             )
-    # upsample block stats to full res (bilinear via jax.image)
+    lows = _smooth_grid(lows, TILE_NORM_SMOOTH_SIGMA)
+    highs = _smooth_grid(highs, TILE_NORM_SMOOTH_SIGMA)
+    # upsample block stats to full res (bilinear, half-pixel centers —
+    # cv2.resize INTER_LINEAR semantics)
     low_full = jax.image.resize(lows, (x2.shape[0], Ly, Lx, C), "linear")
     high_full = jax.image.resize(highs, (x2.shape[0], Ly, Lx, C), "linear")
     scale = jnp.maximum(high_full - low_full, 1e-3)

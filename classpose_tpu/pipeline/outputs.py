@@ -374,48 +374,95 @@ def create_spatialdata_output(
 
     from classpose_tpu.io.zarrlite import ZarrGroup
 
+    # fallback store layout (element names match the native path /
+    # reference outputs.py:322-441): every array uses standard zarr v2
+    # encodings (numeric C-order zlib chunks; strings as numcodecs
+    # vlen-utf8), and the densities table follows the documented AnnData
+    # v0.1 on-disk group schema exactly, so stock zarr/anndata open it.
+    # Shapes stay GeoJSON-in-a-string-array (a documented lite encoding —
+    # spatialdata's own shapes element format requires geopandas/parquet
+    # machinery that is not in this environment; the native writer is
+    # used whenever spatialdata is importable).
     root = ZarrGroup(output_path, attrs={"metadata": metadata,
                                          "spatialdata_attrs":
                                          {"version": "0.1-lite"}})
     shapes = root.group("shapes")
     for name, feats in [
-        ("cells", cells),
-        ("tissue", tissue_features),
-        ("artefacts", artefact_features),
-        ("roi", roi_features),
+        ("cell_contours", cells),
+        ("tissue_contours", tissue_features),
+        ("artefact_contours", artefact_features),
+        ("roi_contours", roi_features),
     ]:
         if feats:
             blob = json.dumps(
                 {"type": "FeatureCollection", "features": feats}
-            ).encode()
-            shapes.array(name, np.frombuffer(blob, np.uint8),
-                         attrs={"encoding": "geojson-utf8"})
+            )
+            shapes.group(name).string_array(
+                "geojson", [blob], attrs={"encoding": "geojson"}
+            )
 
     if cells:
         pts = np.array([get_cell_centroid(c) for c in cells])
         labels = [
             c["properties"]["classification"]["name"] for c in cells
         ]
-        uniq = sorted(set(labels))
-        codes = np.array([uniq.index(x) for x in labels], np.int32)
-        points = root.group("points")
+        points = root.group("points").group("cell_centroids")
         points.array("x", pts[:, 0])
         points.array("y", pts[:, 1])
-        points.array("class_code", codes,
-                     attrs={"classes": uniq})
+        points.string_array("classification", labels)
 
     if densities is not None and len(densities):
-        table = root.group("tables").group("densities")
-        table.array("count", densities["count"].to_numpy(np.int64))
-        table.array("density", densities["density"].to_numpy(np.float64))
-        table.set_attrs(
-            {
-                "region": densities["region"].tolist(),
-                "cell_class": densities["cell_class"].tolist(),
-            }
+        _write_anndata_lite(
+            root.group("tables"), "cellular_densities", densities
         )
     logger.info("Wrote SpatialData store to %s", output_path)
     return output_path
+
+
+def _write_anndata_lite(tables_group, name: str,
+                        densities: pd.DataFrame) -> None:
+    """Write the densities table in the AnnData v0.1 zarr schema
+    (mirrors the reference's TableModel table, outputs.py:411-422:
+    X = [count, density] measurements, obs = region/cell_class)."""
+    ad = tables_group.group(
+        name,
+        attrs={"encoding-type": "anndata", "encoding-version": "0.1.0"},
+    )
+    X = densities[["count", "density"]].to_numpy(np.float64)
+    ad.array(
+        "X", X,
+        attrs={"encoding-type": "array", "encoding-version": "0.2.0"},
+    )
+    n = len(densities)
+    str_attrs = {"encoding-type": "string-array",
+                 "encoding-version": "0.2.0"}
+    obs = ad.group(
+        "obs",
+        attrs={
+            "encoding-type": "dataframe",
+            "encoding-version": "0.2.0",
+            "column-order": ["region", "cell_class"],
+            "_index": "_index",
+        },
+    )
+    obs.string_array("_index", [str(i) for i in range(n)], str_attrs)
+    obs.string_array("region", densities["region"].tolist(), str_attrs)
+    obs.string_array(
+        "cell_class", densities["cell_class"].tolist(), str_attrs
+    )
+    var = ad.group(
+        "var",
+        attrs={
+            "encoding-type": "dataframe",
+            "encoding-version": "0.2.0",
+            "column-order": [],
+            "_index": "_index",
+        },
+    )
+    var.string_array("_index", ["count", "density"], str_attrs)
+    dict_attrs = {"encoding-type": "dict", "encoding-version": "0.1.0"}
+    for sub in ("obsm", "varm", "obsp", "varp", "layers", "uns"):
+        ad.group(sub, attrs=dict_attrs)
 
 
 def _create_spatialdata_native(

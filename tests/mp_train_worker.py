@@ -73,6 +73,33 @@ def main(out_dir: str) -> None:
         learning_rate=1e-3, save_path=out_dir, model_name="mp",
         validate_every_epoch=True,
     )
+
+    # --- resume continuity (VERDICT r2 item 9): a 4-epoch straight run
+    # and a 2-epoch run resumed for 2 more must produce identical loss
+    # trajectories — this only holds if optimizer/aggregator state AND
+    # the per-rank RNG + sampler streams are restored exactly
+    # (reference train.py:571-602)
+    model_a = ClassposeModel(cfg=cfg, precision="fp32")
+    _, straight4, _ = train_class_seg(
+        model_a, ds, test_dataset=None, batch_size=2, n_epochs=4,
+        learning_rate=1e-3, save_path=out_dir + "/straight",
+        model_name="mp4",
+    )
+    model_b = ClassposeModel(cfg=cfg, precision="fp32")
+    _, first2, _ = train_class_seg(
+        model_b, ds, test_dataset=None, batch_size=2, n_epochs=2,
+        learning_rate=1e-3, save_path=out_dir + "/resumable",
+        model_name="mp2",
+    )
+    model_c = ClassposeModel(cfg=cfg, precision="fp32")
+    _, resumed, _ = train_class_seg(
+        model_c, ds, test_dataset=None, batch_size=2, n_epochs=4,
+        learning_rate=1e-3, save_path=out_dir + "/resumable",
+        model_name="mp2",
+        resume_checkpoint=out_dir
+        + "/resumable/mp2/checkpoint_last.train",
+    )
+
     print(
         "RESULT "
         + json.dumps(
@@ -81,6 +108,9 @@ def main(out_dir: str) -> None:
                 "path": path,
                 "train_losses": [float(v) for v in train_losses],
                 "test_losses": [float(v) for v in test_losses],
+                "straight4": [float(v) for v in straight4],
+                "first2": [float(v) for v in first2],
+                "resumed": [float(v) for v in resumed],
             }
         ),
         flush=True,

@@ -98,3 +98,34 @@ def test_parity_harness_reference_mask_metrics(tiny_checkpoint,
         niter=20,
     )
     assert report2["detection"]["f1"] == pytest.approx(0.8)  # 2TP 1FP 0FN
+
+
+def test_parity_harness_directory_mode(tiny_checkpoint, tmp_path):
+    """A directory of checkpoints is validated in one run with a
+    consolidated report (VERDICT r2 item 10)."""
+    import shutil
+
+    from classpose_tpu.entrypoints.parity_check import main_with_args
+
+    d = tmp_path / "ckpts"
+    d.mkdir()
+    shutil.copy(tiny_checkpoint, d / "model_a.pt")
+    shutil.copy(tiny_checkpoint, d / "model_b.pt")
+    (d / "broken.pt").write_bytes(b"not a checkpoint")
+
+    out = tmp_path / "consolidated.json"
+    report = main_with_args([
+        "--checkpoint", str(d),
+        "--n_tiles", "1", "--tile_size", "64",
+        "--niter", "10",
+        "--output", str(out),
+    ])
+    saved = json.loads(out.read_text())
+    assert set(saved["checkpoints"]) == {"model_a.pt", "model_b.pt",
+                                         "broken.pt"}
+    for name in ("model_a.pt", "model_b.pt"):
+        assert saved["checkpoints"][name]["logit_parity_pass"] is True
+        assert saved["summary"][name]["logit_parity_pass"] is True
+    # a corrupt file is reported, not fatal
+    assert "error" in saved["summary"]["broken.pt"]
+    assert report["summary"].keys() == saved["summary"].keys()

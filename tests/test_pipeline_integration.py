@@ -161,13 +161,52 @@ def test_pipeline_oracle_end_to_end(synthetic_slide, tmp_path):
     assert set(dens.columns) == {"region", "cell_class", "count", "density"}
     assert dens["count"].sum() == result["n_cells"]
 
-    # spatialdata store (zarr-lite)
+    # spatialdata store (zarr-lite) — schema-level conformance
+    # (VERDICT r2 item 8): every array must be standard zarr v2 (strings
+    # via the numcodecs vlen-utf8 filter) and the densities table must
+    # follow the documented AnnData v0.1 on-disk group schema
+    import json as _json
+
     store = tmp_path / "synthetic_spatialdata.zarr"
     assert (store / ".zgroup").exists()
     from classpose_tpu.io.zarrlite import read_zarr_array
 
-    xs = read_zarr_array(store / "points" / "x")
+    pts = store / "points" / "cell_centroids"
+    xs = read_zarr_array(pts / "x")
     assert len(xs) == result["n_cells"]
+    cls = read_zarr_array(pts / "classification")
+    assert len(cls) == result["n_cells"] and cls.dtype == object
+    cls_meta = _json.loads((pts / "classification" / ".zarray").read_text())
+    assert cls_meta["dtype"] == "|O"
+    assert cls_meta["filters"] == [{"id": "vlen-utf8"}]
+
+    ad = store / "tables" / "cellular_densities"
+    ad_attrs = _json.loads((ad / ".zattrs").read_text())
+    assert ad_attrs == {"encoding-type": "anndata",
+                        "encoding-version": "0.1.0"}
+    for sub in ("X", "obs", "var", "obsm", "varm", "obsp", "varp",
+                "layers", "uns"):
+        assert (ad / sub).exists(), sub
+    obs_attrs = _json.loads((ad / "obs" / ".zattrs").read_text())
+    assert obs_attrs["encoding-type"] == "dataframe"
+    assert obs_attrs["_index"] == "_index"
+    assert obs_attrs["column-order"] == ["region", "cell_class"]
+    X = read_zarr_array(ad / "X")
+    regions = read_zarr_array(ad / "obs" / "region")
+    var_idx = read_zarr_array(ad / "var" / "_index")
+    assert list(var_idx) == ["count", "density"]
+    assert X.shape == (len(regions), 2)
+    assert X[:, 0].sum() == result["n_cells"]  # count column
+    col_attrs = _json.loads(
+        (ad / "obs" / "region" / ".zattrs").read_text()
+    )
+    assert col_attrs == {"encoding-type": "string-array",
+                         "encoding-version": "0.2.0"}
+
+    shp = store / "shapes" / "cell_contours" / "geojson"
+    fc = _json.loads(read_zarr_array(shp)[0])
+    assert fc["type"] == "FeatureCollection"
+    assert len(fc["features"]) == result["n_cells"]
 
 
 def test_pipeline_classification_accuracy(synthetic_slide, tmp_path):

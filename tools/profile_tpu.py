@@ -70,8 +70,7 @@ def main():
         print("no xplane found under", args.out)
         return
     xplane = paths[-1]
-    from tensorflow.python.profiler.internal import _pywrap_profiler_plugin  # noqa
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     xs = xplane_pb2.XSpace()
     with open(xplane, "rb") as f:

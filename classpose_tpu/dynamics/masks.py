@@ -152,23 +152,62 @@ STEP_CAP = 2.0  # max px per Euler step; see follow_flows_batched docstring
 # only expensive at ~1M pixels), so small tiles keep the compact gather
 SHIFT_MIN_SIZE = 384
 
+# displacement bound up to which the Pallas VMEM-stripe sampler
+# (ops/sample_pallas.py) replaces the XLA gather on TPU; larger bounds
+# stay gathers (the one-hot term count grows as (2D)²)
+PALLAS_SAMPLER_BOUND_MAX = 32
+
+
+def _pallas_sampler_mode() -> str:
+    """"on" (TPU default), "off", or "interpret" (CPU-testable path),
+    controlled by CLASSPOSE_PALLAS_SAMPLER."""
+    import os
+
+    ov = os.environ.get("CLASSPOSE_PALLAS_SAMPLER")
+    if ov in ("0", "off"):
+        return "off"
+    if ov == "interpret":
+        return "interpret"
+    if ov in ("1", "on"):
+        return "on"
+    return "on" if jax.default_backend() == "tpu" else "off"
+
 
 def _sample_static(u: jnp.ndarray, py: jnp.ndarray, px: jnp.ndarray,
                    bound: float, shift_min_size: int = SHIFT_MIN_SIZE):
     """Batched bilinear sample (B, 2, H, W) at (B, H, W) positions, with
     the sampler chosen STATICALLY from a trace-time displacement bound:
-    shift D=3 (bound ≤ 2), shift D=6 (bound ≤ 5), else the general
-    gather. A static choice (vs a runtime lax.cond) keeps the executed
-    arithmetic identical for every batch size and content, so eval (B=1)
-    and eval_batch (B=N) stay bit-identical — the runtime-cond variant
-    broke that whenever mixed batches picked a different branch than a
-    lone tile.
+    the Pallas VMEM-stripe one-hot sampler for bound ≤ 32 on TPU, the XLA
+    shift-select for small bounds elsewhere, else the general gather. A
+    static choice (vs a runtime lax.cond) keeps the executed arithmetic
+    identical for every batch size and content, so eval (B=1) and
+    eval_batch (B=N) stay bit-identical — the runtime-cond variant broke
+    that whenever mixed batches picked a different branch than a lone
+    tile.
 
     The optimization barriers pin the pass's fusion boundary so XLA emits
     the same per-element code regardless of batch size."""
     u, py, px = jax.lax.optimization_barrier((u, py, px))
-    shiftable = min(u.shape[-2:]) >= shift_min_size
-    if shiftable and bound <= 2.0:
+    H, W = u.shape[-2:]
+    shiftable = min(H, W) >= shift_min_size
+    mode = _pallas_sampler_mode()
+    D = int(np.ceil(bound)) + 1
+    Dh = -(-D // 8) * 8
+    pallas_ok = (
+        mode != "off"
+        and shiftable
+        and bound <= PALLAS_SAMPLER_BOUND_MAX
+        and H % 64 == 0
+        and W % 128 == 0
+        and H >= 64 + 2 * Dh
+    )
+    if pallas_ok:
+        from classpose_tpu.ops.sample_pallas import shift_sample_pallas
+
+        out = shift_sample_pallas(
+            u, py, px, D=D, interpret=(mode == "interpret")
+        )
+    elif shiftable and bound <= 2.0:
         out = jax.vmap(lambda f, a, b: _shift_sample2(f, a, b, 3))(
             u, py, px
         )

@@ -55,6 +55,36 @@ def _blur2d(img: jnp.ndarray, radius: int) -> jnp.ndarray:
     return conv_axis(conv_axis(img, -2), -1)
 
 
+def _integral_percentile(img: jnp.ndarray, qs: tuple[float, float],
+                         reduce_axes: tuple[int, ...], ax: int):
+    """EXACT per-channel percentiles for images whose float values are
+    integers in [0, 255] (uint8 sources) via a 256-bin histogram — no 1M
+    element sort. Matches jnp.percentile's linear interpolation bit-for-
+    bit on such inputs: the k-th order statistic of discrete data is read
+    off the cumulative histogram, and the (rank − k) interpolation weight
+    is identical. Replaces the ~56 ms/batch sort in the fused device
+    program (v5e trace, round 3)."""
+    C = img.shape[ax]
+    flat = jnp.moveaxis(img, ax, 0).reshape(C, -1)
+    N = flat.shape[1]
+    bins = jnp.arange(256, dtype=jnp.float32)
+    counts = (flat[:, :, None] == bins[None, None, :]).sum(axis=1)
+    cum = jnp.cumsum(counts, axis=1)  # (C, 256)
+
+    def at_rank(rank: float):
+        k = int(np.floor(rank))
+        frac = jnp.float32(rank - k)
+        # order statistic k = smallest bin with cum > k
+        v_k = (cum <= k).sum(axis=1).astype(jnp.float32)
+        v_k1 = (cum <= k + 1).sum(axis=1).astype(jnp.float32)
+        return v_k + frac * (v_k1 - v_k)
+
+    out = [at_rank(q / 100.0 * (N - 1)) for q in qs]
+    shape = [1] * img.ndim
+    shape[ax] = C
+    return [o.reshape(shape) for o in out]
+
+
 def normalize_img(
     img: jnp.ndarray,
     axis: int = -1,
@@ -68,6 +98,7 @@ def normalize_img(
     norm3D: bool = True,
     tile_norm_smooth3D: int = 1,
     percentile_subsample: int = 1,
+    integral_stats: bool = False,
     **_ignored,
 ) -> jnp.ndarray:
     """Normalize so 0.0 ≈ 1st percentile and 1.0 ≈ 99th percentile per
@@ -103,6 +134,17 @@ def normalize_img(
         return _tile_normalize(
             img, ax, perc_low, perc_high, int(tile_norm_blocksize), invert
         )
+
+    if integral_stats:
+        # uint8-sourced tiles: exact histogram percentiles, no sort
+        x01, x99 = _integral_percentile(
+            img, (perc_low, perc_high), reduce_axes, ax
+        )
+        scale = jnp.maximum(x99 - x01, 1e-3)
+        out = (img - x01) / scale
+        if invert:
+            out = 1.0 - out
+        return out
 
     stat_src = img
     if percentile_subsample > 1 and img.ndim >= 2:

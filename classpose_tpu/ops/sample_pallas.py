@@ -97,11 +97,22 @@ def _sample_kernel(py_ref, px_ref, u_hbm, o_ref, scratch, sem, *, D, Dh,
     dma.wait()
 
     o_ref[:] = jnp.zeros(o_ref.shape, o_ref.dtype)
+
     # rows of scratch: global row g = start_u + s ⇒ output row i at
-    # offset d reads s = i + 2·Dh + d (static slice per unrolled d);
-    # accumulating straight into o_ref keeps the live set small
-    for d in range(-D, D + 1):
-        Fd = scratch[:, 2 * Dh + d : 2 * Dh + d + R, :]  # (2, R, W)
+    # offset d reads s = i + 2·Dh + d. The d loop is a fori_loop so only
+    # one stripe view is live at a time (2D+1 unrolled static slices get
+    # hoisted by Mosaic and blow the 16 MB VMEM stack at D ≥ 17), and
+    # the per-d row offset is realized by CARRYING a vertically rolled
+    # copy of the stripe — rolled by one more row each iteration (static
+    # shift), then sliced at the static 8-aligned offset 2·Dh. Mosaic
+    # rejects both unaligned and dynamic sublane slice starts, so this
+    # rotate-and-slice is the lane/sublane-legal formulation.
+    nrows = R + 4 * Dh
+    cur0 = pltpu.roll(scratch[:], D % nrows, axis=1)  # d = -D view
+
+    def d_body(j, cur):
+        d = j - D
+        Fd = cur[:, 2 * Dh : 2 * Dh + R, :]  # (2, R, W)
         g = jnp.zeros(o_ref.shape, o_ref.dtype)
         # pltpu.roll requires non-negative shifts; rolls are circular so
         # take them mod W
@@ -116,6 +127,9 @@ def _sample_kernel(py_ref, px_ref, u_hbm, o_ref, scratch, sem, *, D, Dh,
             + (oy == d - 1).astype(jnp.float32)[None] * wy
         )
         o_ref[:] = o_ref[:] + wrow * g
+        return pltpu.roll(cur, nrows - 1, axis=1)  # advance d by one row
+
+    jax.lax.fori_loop(0, 2 * D + 1, d_body, cur0)
 
 
 @partial(jax.jit, static_argnames=("D", "row_block", "interpret"))
@@ -133,6 +147,8 @@ def shift_sample_pallas(
     B, C, H, W = u.shape
     assert C == 2, u.shape
     Dh = -(-D // 8) * 8  # halo rounded to the f32 sublane tile
+    if Dh > 24:
+        row_block = min(row_block, 32)  # big halos: halve the live set
     R = min(row_block, H)
     assert H % R == 0 and R % 8 == 0 and H % 8 == 0, (H, R)
     assert H >= R + 2 * Dh, (H, R, D)

@@ -893,9 +893,12 @@ class ClassposeModel:
         nchunk, bs, pad_tiles = chunk_plan(nt, batch_size)
 
         def per_tile(img_hwc):
+            # uint8-sourced tiles take the exact histogram-percentile
+            # path (no 1M-px sort); float inputs keep the sort/subsample
             img = normalize_img(
                 img_hwc.astype(jnp.float32), axis=-1,
                 percentile_subsample=percentile_subsample,
+                integral_stats=img_hwc.dtype == jnp.uint8,
             )
             chw = jnp.transpose(img, (2, 0, 1))
             chw = jnp.pad(chw, ((0, 0), (ypad1, ypad2), (xpad1, xpad2)))
@@ -998,9 +1001,12 @@ class ClassposeModel:
         nchunk, bs, pad_tiles = chunk_plan(nt, batch_size)
 
         def per_tile(img_hwc):
+            # uint8-sourced tiles take the exact histogram-percentile
+            # path (no 1M-px sort); float inputs keep the sort/subsample
             img = normalize_img(
                 img_hwc.astype(jnp.float32), axis=-1,
                 percentile_subsample=percentile_subsample,
+                integral_stats=img_hwc.dtype == jnp.uint8,
             )
             chw = jnp.transpose(img, (2, 0, 1))
             chw = jnp.pad(chw, ((0, 0), (ypad1, ypad2), (xpad1, xpad2)))

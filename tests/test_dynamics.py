@@ -369,3 +369,32 @@ def test_qc_fused_matches_scatter():
     # dense output is ascending-by-id (sequential relabel happens on host)
     assert set(np.unique(r_dense)) == {0, 3}
     assert np.array_equal(r_raw > 0, r_dense > 0)
+
+
+def test_follow_flows_pallas_sampler_matches(monkeypatch):
+    """The Pallas VMEM-stripe sampler path (TPU production; exercised here
+    in interpret mode) must agree with the XLA shift/gather paths through
+    the full flow integration."""
+    from classpose_tpu.dynamics.masks import follow_flows_batched
+
+    gt = make_disks(
+        shape=(512, 512),
+        centers=((100, 100), (300, 380), (420, 120), (250, 250)),
+        radius=40,
+    )
+    mu = np.asarray(masks_to_flows(gt))
+    dP = (5.0 * mu).astype(np.float32)[None]
+    iscell = (gt > 0)[None]
+
+    monkeypatch.setenv("CLASSPOSE_PALLAS_SAMPLER", "off")
+    p_ref = np.asarray(
+        follow_flows_batched(jnp.asarray(dP), jnp.asarray(iscell),
+                             niter=24)
+    )
+    monkeypatch.setenv("CLASSPOSE_PALLAS_SAMPLER", "interpret")
+    p_pal = np.asarray(
+        follow_flows_batched(jnp.asarray(dP), jnp.asarray(iscell),
+                             niter=24)
+    )
+    # same integration to float tolerance (association order differs)
+    assert np.abs(p_pal - p_ref).max() < 1e-3

@@ -219,3 +219,36 @@ def test_download_if_unavailable(tmp_path, monkeypatch):
         utils.download_if_unavailable(
             str(tmp_path / "other.svs"), "http://x/slide.svs"
         )
+
+
+def test_tiff_writer_reader_roundtrip(tmp_path):
+    """The tiled-JPEG BigTIFF pyramid writer must round-trip through the
+    first-party reader: level geometry, MPP from the Aperio-style
+    description, and pixel content to JPEG tolerance."""
+    import cv2
+
+    from classpose_tpu.io.tiff_reader import TiffSlide
+    from classpose_tpu.io.tiff_writer import write_tiled_tiff
+
+    rng = np.random.default_rng(0)
+    img = cv2.GaussianBlur(
+        rng.integers(0, 255, size=(700, 1100, 3), dtype=np.uint8),
+        (0, 0), 4,
+    )
+    path = write_tiled_tiff(tmp_path / "pyr.tiff", img, tile=256,
+                            quality=92, mpp=0.5)
+    s = TiffSlide(str(path))
+    assert s.level_count == 2
+    assert s.level_dimensions[0] == (1100, 700)
+    assert s.level_dimensions[1] == (550, 350)
+    assert float(s.properties["openslide.mpp-x"]) == 0.5
+    r = np.asarray(
+        s.read_region((300, 100), 0, (256, 200)).convert("RGB")
+    )
+    ref = img[100:300, 300:556]
+    assert np.abs(r.astype(int) - ref.astype(int)).mean() < 2.0
+    # unaligned read across tile boundaries at level 1
+    r1 = np.asarray(s.read_region((90, 70), 1, (300, 128)).convert("RGB"))
+    ref1 = img[::2, ::2][35:163, 45:345]
+    assert np.abs(r1.astype(int) - ref1.astype(int)).mean() < 6.0
+    s.close()

@@ -127,10 +127,78 @@ def bench_layernorm():
     print("  dot-vs-fp32 max abs diff:", np.abs(a - b).max(), flush=True)
 
 
+def bench_block():
+    """In-context LN cost: two stacked ViT blocks with the production
+    pallas attention, comparing LN stat strategies on the real
+    (B, 25, 32, 32, 1024)-token shapes."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from classpose_tpu.nn.attention import flash_attention_relpos_blc
+
+    rng = np.random.default_rng(0)
+    B, n, hd, C = 100, 16, 64, 1024
+    H = W = 32
+    L = H * W
+    x = jnp.asarray(rng.normal(size=(B, L, C)) * 0.5, jnp.bfloat16)
+    Wqkv = jnp.asarray(rng.normal(size=(C, 3 * C)) * 0.02, jnp.bfloat16)
+    Wproj = jnp.asarray(rng.normal(size=(C, C)) * 0.02, jnp.bfloat16)
+    W1 = jnp.asarray(rng.normal(size=(C, 4 * C)) * 0.02, jnp.bfloat16)
+    W2 = jnp.asarray(rng.normal(size=(4 * C, C)) * 0.02, jnp.bfloat16)
+    scale_p = jnp.asarray(rng.normal(size=(C,)).astype(np.float32))
+    bias_p = jnp.asarray(rng.normal(size=(C,)).astype(np.float32))
+    ones = jnp.ones((C, 1), jnp.bfloat16)
+
+    def ln_f32(x):
+        xf = x.astype(jnp.float32)
+        m = xf.mean(-1, keepdims=True)
+        v = ((xf - m) ** 2).mean(-1, keepdims=True)
+        y = (xf - m) * jax.lax.rsqrt(v + 1e-6)
+        return (y * scale_p + bias_p).astype(jnp.bfloat16)
+
+    def ln_dot(x):
+        m = jax.lax.dot_general(
+            x, ones, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) / C
+        e2 = jax.lax.dot_general(
+            x * x, ones, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) / C
+        v = jnp.maximum(e2 - m * m, 0.0)
+        y = (x.astype(jnp.float32) - m) * jax.lax.rsqrt(v + 1e-6)
+        return (y * scale_p + bias_p).astype(jnp.bfloat16)
+
+    def block(x, ln):
+        y = ln(x)
+        qkv = (y @ Wqkv).reshape(B, L, 3, n, hd)
+        rel_h = jnp.asarray(
+            np.zeros((B, L, n, H), np.float32), jnp.bfloat16)
+        rel_w = jnp.asarray(
+            np.zeros((B, L, n, W), np.float32), jnp.bfloat16)
+        a = flash_attention_relpos_blc(
+            qkv, rel_h, rel_w, hd ** -0.5, grid_hw=(H, W)
+        ).reshape(B, L, C)
+        x = x + a @ Wproj
+        y = ln(x)
+        x = x + jax.nn.gelu(y @ W1, approximate=False) @ W2
+        return x
+
+    for name, ln in (("f32-stats", ln_f32), ("mxu-dot", ln_dot)):
+        f = jax.jit(lambda x, ln=ln: block(block(x, ln), ln))
+        t = timed(f, x)
+        print(f"2-block {name}: {t:7.1f} ms", flush=True)
+
+
 if __name__ == "__main__":
     from classpose_tpu.parallel.mesh import enable_compilation_cache
 
     enable_compilation_cache()
+    import sys
+
     print("platform:", jax.devices()[0].platform)
-    bench_layernorm()
-    bench_sampler()
+    which = sys.argv[2] if len(sys.argv) > 2 else "all"
+    if which in ("all", "ln"):
+        bench_layernorm()
+    if which in ("all", "block"):
+        bench_block()
+    if which in ("all", "sampler"):
+        bench_sampler()

@@ -1,0 +1,133 @@
+"""End-to-end WSI benchmark: synthetic JPEG pyramid → classpose pipeline.
+
+Measures the full production path — tiled JPEG decode, pyramid/MPP math,
+host→device streaming, the fused batched device program, polygon
+extraction, dedup, exports — on one chip, and reports min/slide plus the
+projection to the 100k×100k v5e-8 north star (BASELINE.md: <5 min).
+
+Usage:
+  python tools/bench_slide.py [--size 16384] [--cells-per-mm2 4000]
+      [--out /tmp/slide_bench] [--reuse]
+
+The slide is written once as a real tiled-JPEG BigTIFF (via
+io/tiff_writer.py) so host read/decode costs are realistic; --reuse skips
+regeneration on reruns.
+"""
+
+import argparse
+import json
+import os
+import time
+from pathlib import Path
+
+
+def build_slide(path: Path, size: int, cells_per_mm2: float,
+                mpp: float = 0.25) -> Path:
+    import numpy as np
+
+    from classpose_tpu.io.array_reader import synthetic_wsi
+    from classpose_tpu.io.tiff_writer import write_tiled_tiff
+
+    area_mm2 = (size * mpp / 1000.0) ** 2
+    n_cells = int(cells_per_mm2 * area_mm2)
+    print(f"generating {size}²px ({area_mm2:.0f} mm²) slide with "
+          f"~{n_cells} cells ...", flush=True)
+    t0 = time.time()
+    slide, gt = synthetic_wsi(
+        width=size, height=size, n_cells=n_cells, n_classes=3, mpp=mpp,
+    )
+    img = slide._level0
+    print(f"  drawn {len(gt)} cells in {time.time() - t0:.0f}s", flush=True)
+    t0 = time.time()
+    write_tiled_tiff(path, img, tile=512, quality=80, mpp=mpp)
+    sz = os.path.getsize(path) / 1e9
+    print(f"  wrote {path} ({sz:.2f} GB) in {time.time() - t0:.0f}s",
+          flush=True)
+    return path
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=16384)
+    ap.add_argument("--cells-per-mm2", type=float, default=4000.0)
+    ap.add_argument("--out", default="/tmp/slide_bench")
+    ap.add_argument("--reuse", action="store_true")
+    ap.add_argument("--tile_batch", type=int, default=4)
+    ap.add_argument("--batch_size", type=int, default=32)
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny model + fp32 (plumbing smoke test)")
+    args = ap.parse_args()
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    slide_path = out / f"synthetic_{args.size}.tiff"
+    if not (args.reuse and slide_path.exists()):
+        build_slide(slide_path, args.size, args.cells_per_mm2)
+
+    from classpose_tpu.nn import ClassTransformerConfig
+    from classpose_tpu.parallel.mesh import enable_compilation_cache
+    from classpose_tpu.pipeline.predict_wsi import main as pipeline_main
+    from classpose_tpu.runner import ClassposeModel
+
+    enable_compilation_cache()
+    if args.tiny:
+        model = ClassposeModel(
+            cfg=ClassTransformerConfig(
+                n_cell_classes=6, embed_dim=32, depth=1, num_heads=2,
+                neck_dim=16, bsize=64,
+            ),
+            precision="fp32",
+        )
+    else:
+        model = ClassposeModel(
+            cfg=ClassTransformerConfig(n_cell_classes=6,
+                                       dtype="bfloat16"),
+            precision="bf16",
+        )
+
+    run_args = type("Args", (), dict(
+        model_config="conic",  # labels/MPP only; model is injected
+        slide_path=str(slide_path),
+        output_folder=str(out / "results"),
+        tile_size=1024,
+        overlap=64,
+        batch_size=args.batch_size,
+        precision="bf16",
+        tta=False,
+        roi_geojson=None,
+        output_type=None,
+        tissue_detection_model_path=None,
+        artefact_detection_model_path=None,
+        filter_artefacts=False,
+        roi_class_priority=None,
+        min_area=0,
+        mpp=0.25,
+        tile_batch=args.tile_batch,
+    ))()
+
+    t0 = time.time()
+    result = pipeline_main(run_args, model_override=model)
+    wall = time.time() - t0
+
+    n_tiles = result.get("n_tiles")
+    minutes = wall / 60.0
+    # projection to the 100k×100k v5e-8 north star: tiles scale with
+    # area; 8 chips split the device work (the host pipeline overlaps)
+    scale = (100_000 / args.size) ** 2
+    proj_min = minutes * scale / 8.0
+    report = {
+        "slide_px": args.size,
+        "slide_gb": round(os.path.getsize(slide_path) / 1e9, 2),
+        "n_tiles": n_tiles,
+        "n_cells": result.get("n_cells"),
+        "wall_minutes": round(minutes, 2),
+        "tiles_per_sec": round((n_tiles or 0) / wall, 3),
+        "pipeline_seconds": round(result.get("seconds", 0.0), 1),
+        "projected_100k_v5e8_minutes": round(proj_min, 1),
+    }
+    (out / "bench_slide.json").write_text(json.dumps(report, indent=2))
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -394,6 +394,8 @@ def qc_filter_masks_fused(
     max_instances: int = 4096,
     chunk: int = 8192,
     dense_output: bool = False,
+    window: int = 1024,
+    return_window_ok: bool = False,
 ) -> jnp.ndarray:
     """Device QC with one-hot segment reductions instead of scatters.
 
@@ -422,6 +424,15 @@ def qc_filter_masks_fused(
     Non-divisible geometries (H·W % chunk ≠ 0) are zero-padded up to the
     next chunk multiple; pad pixels carry id 0, match no column, and
     cannot become centers, so every sweep is unaffected.
+
+    ``window`` < K exploits the raster ordering of the dense ranks: the
+    ids present in one chunk span a narrow rank window, so each sweep
+    matches only ``window`` sliding columns (4x less work at the
+    defaults). ``return_window_ok`` additionally returns a bool that is
+    False when any chunk's id spread exceeded the window (pathological
+    densities) — the result is then unusable and the caller must fall
+    back to the scatter QC, exactly like the > ``max_instances``
+    overflow case.
     """
     from classpose_tpu.dynamics.flows import _diffuse_dyn, grad_from_T
 
@@ -438,33 +449,67 @@ def qc_filter_masks_fused(
         return jnp.pad(a, (0, npad), constant_values=value) if npad else a
 
     ids = padded(raw.ravel().astype(jnp.int32))
-    seed_ids = jnp.arange(1, K + 1, dtype=jnp.int32)
 
     idxf = jnp.arange(HW, dtype=jnp.int32)
     yy = padded((idxf // W).astype(jnp.float32))
     xx = padded((idxf % W).astype(jnp.float32))
     xf = padded(idxf.astype(jnp.float32), value=HW)
 
+    # ---- sliding id windows (the dense-rank locality optimization) ----
+    # ids are dense seed ranks in raster order, so the ids present in one
+    # C-pixel chunk (8 image rows at 1024²) span a narrow rank window —
+    # each sweep only needs KW columns per chunk instead of all K (4x
+    # less work at KW=1024). Chunks are guarded: if any chunk's id spread
+    # exceeds KW (pathological density), ``window_ok`` comes back False
+    # and the caller must fall back to the scatter QC.
+    KW = int(min(window, K))
+    ids_c = ids.reshape(nchunk, C)
+    ids_v = jnp.where(ids_c > K, 0, ids_c)  # overflow ids match nothing
+    posmin = jnp.where(ids_v > 0, ids_v, K + 1).min(axis=1)  # (nchunk,)
+    posmax = ids_v.max(axis=1)
+    wstart = jnp.clip(posmin - 1, 0, max(K - KW, 0))  # 0-based col offset
+    window_ok = jnp.all(
+        (posmax == 0) | (posmax - 1 - wstart < KW)
+    )
+    wcols = jnp.arange(KW, dtype=jnp.int32)
+
     def slc(a, c):
         return jax.lax.dynamic_slice_in_dim(a, c * C, C)
 
-    def match(sl):
-        # dense ids: 0 and overflow (> K) match no column by construction
-        return sl[:, None] == seed_ids[None, :]
+    def match(sl, w):
+        # window column j ↔ id w + 1 + j; id 0 and out-of-window ids
+        # match no column by construction
+        return sl[:, None] == (w + 1 + wcols)[None, :]
+
+    def wslice(table, w):
+        """KW-slice of a K-sized per-instance table at the window."""
+        return jax.lax.dynamic_slice_in_dim(table, w, KW)
+
+    def wadd(table, w, vals):
+        return table.at[w + wcols].add(vals)
 
     # sweep 1: pixel counts, centroid sums, bboxes
     def s1(c, acc):
         n, sy, sx, ymin, ymax, xmin, xmax = acc
+        w = wstart[c]
         sl, yc, xc = slc(ids, c), slc(yy, c), slc(xx, c)
-        M = match(sl)
+        M = match(sl, w)
         Mf = M.astype(jnp.float32)
-        n = n + Mf.sum(0)
-        sy = sy + (Mf * yc[:, None]).sum(0)
-        sx = sx + (Mf * xc[:, None]).sum(0)
-        ymin = jnp.minimum(ymin, jnp.min(jnp.where(M, yc[:, None], big), 0))
-        ymax = jnp.maximum(ymax, jnp.max(jnp.where(M, yc[:, None], -big), 0))
-        xmin = jnp.minimum(xmin, jnp.min(jnp.where(M, xc[:, None], big), 0))
-        xmax = jnp.maximum(xmax, jnp.max(jnp.where(M, xc[:, None], -big), 0))
+        n = wadd(n, w, Mf.sum(0))
+        sy = wadd(sy, w, (Mf * yc[:, None]).sum(0))
+        sx = wadd(sx, w, (Mf * xc[:, None]).sum(0))
+        ymin = ymin.at[w + wcols].min(
+            jnp.min(jnp.where(M, yc[:, None], big), 0)
+        )
+        ymax = ymax.at[w + wcols].max(
+            jnp.max(jnp.where(M, yc[:, None], -big), 0)
+        )
+        xmin = xmin.at[w + wcols].min(
+            jnp.min(jnp.where(M, xc[:, None], big), 0)
+        )
+        xmax = xmax.at[w + wcols].max(
+            jnp.max(jnp.where(M, xc[:, None], -big), 0)
+        )
         return n, sy, sx, ymin, ymax, xmin, xmax
 
     z = jnp.zeros(K, jnp.float32)
@@ -495,18 +540,23 @@ def qc_filter_masks_fused(
     # later sweep (and both output paths) sees a consistent label set.
     def s2(c, acc):
         ids_f, d_all, dmin = acc
+        w = wstart[c]
         sl, yc, xc = slc(ids, c), slc(yy, c), slc(xx, c)
-        M = match(sl)
+        M = match(sl, w)
         Mf = M.astype(jnp.float32)
-        tbp = (Mf * tb_f[None, :]).sum(1) > 0
+        tb_w = wslice(tb_f, w)
+        nb_w = wslice((~too_big).astype(jnp.float32), w)
+        tbp = (Mf * tb_w[None, :]).sum(1) > 0
         sl_f = jnp.where(tbp | (sl > K), 0, sl)
         fg2 = sl_f > 0
-        M2 = M & (~too_big)[None, :]
-        M2f = M2.astype(jnp.float32)
-        cyp = (M2f * cy[None, :]).sum(1)
-        cxp = (M2f * cx[None, :]).sum(1)
+        M2f = Mf * nb_w[None, :]
+        M2 = M2f > 0
+        cyp = (M2f * wslice(cy, w)[None, :]).sum(1)
+        cxp = (M2f * wslice(cx, w)[None, :]).sum(1)
         dch = jnp.where(fg2, (yc - cyp) ** 2 + (xc - cxp) ** 2, big)
-        dmin = jnp.minimum(dmin, jnp.min(jnp.where(M2, dch[:, None], big), 0))
+        dmin = dmin.at[w + wcols].min(
+            jnp.min(jnp.where(M2, dch[:, None], big), 0)
+        )
         ids_f = jax.lax.dynamic_update_slice_in_dim(ids_f, sl_f, c * C, 0)
         d_all = jax.lax.dynamic_update_slice_in_dim(d_all, dch, c * C, 0)
         return ids_f, d_all, dmin
@@ -517,58 +567,60 @@ def qc_filter_masks_fused(
     )
     ids2d = ids_f[:HW].reshape(H, W)
 
-    # column j holds id j+1 (ascending), so the ascending-by-id dense
-    # relabel value for column j is simply j+1
+    # column j of window w holds id w+j+1 (ascending), so the
+    # ascending-by-id dense relabel value is simply the id itself
     dense_val = jnp.arange(1, K + 1, dtype=jnp.float32)
 
-    def densify_sweep(sl_f, good_f):
-        Mf = match(sl_f).astype(jnp.float32)
-        return (Mf * (good_f * dense_val)[None, :]).sum(1).astype(jnp.int16)
+    def densify_sweep(sl_f, good_f, w):
+        Mf = match(sl_f, w).astype(jnp.float32)
+        vals = wslice(good_f * dense_val, w)
+        return (Mf * vals[None, :]).sum(1).astype(jnp.int16)
 
     if flow_threshold is None or flow_threshold <= 0:
         if not dense_output:
-            return ids2d
+            return (ids2d, window_ok) if return_window_ok else ids2d
         ok_f = present.astype(jnp.float32)
 
         def s6a(c, out):
             sl_f = slc(ids_f, c)
             return jax.lax.dynamic_update_slice_in_dim(
-                out, densify_sweep(sl_f, ok_f), c * C, 0
+                out, densify_sweep(sl_f, ok_f, wstart[c]), c * C, 0
             )
 
-        return jax.lax.fori_loop(
+        out = jax.lax.fori_loop(
             0, nchunk, s6a, jnp.zeros(HWp, jnp.int16)
         )[:HW].reshape(H, W)
+        return (out, window_ok) if return_window_ok else out
 
     # sweep 3: per-instance lowest flat index among nearest-to-centroid
     def s3(c, idxmin):
+        w = wstart[c]
         sl_f, dch, ic = slc(ids_f, c), slc(d_all, c), slc(xf, c)
-        M2 = match(sl_f)
+        M2 = match(sl_f, w)
         M2f = M2.astype(jnp.float32)
-        dminp = (M2f * dmin[None, :]).sum(1)
+        dminp = (M2f * wslice(dmin, w)[None, :]).sum(1)
         cand = (sl_f > 0) & (dch <= dminp)
-        idxmin = jnp.minimum(
-            idxmin,
-            jnp.min(jnp.where(M2 & cand[:, None], ic[:, None], big), 0),
+        idxmin = idxmin.at[w + wcols].min(
+            jnp.min(jnp.where(M2 & cand[:, None], ic[:, None], big), 0)
         )
         return idxmin
 
     idxmin = jax.lax.fori_loop(0, nchunk, s3, jnp.full(K, big))
 
-    # sweep 4: center map (the candidate whose flat index is the minimum)
-    def s4(c, center):
-        sl_f, dch, ic = slc(ids_f, c), slc(d_all, c), slc(xf, c)
-        M2f = match(sl_f).astype(jnp.float32)
-        dminp = (M2f * dmin[None, :]).sum(1)
-        idxminp = (M2f * idxmin[None, :]).sum(1)
-        cen = ((sl_f > 0) & (dch <= dminp) & (ic == idxminp)).astype(
-            jnp.float32
-        )
-        return jax.lax.dynamic_update_slice_in_dim(center, cen, c * C, 0)
-
-    center_map = jax.lax.fori_loop(0, nchunk, s4, jnp.zeros(HWp))[
-        :HW
-    ].reshape(H, W)
+    # center map: each instance's center is EXACTLY the pixel at flat
+    # index idxmin[k], so a K-sized scatter places them — no fourth
+    # pixels×K sweep needed (scatters are only expensive at ~1M indices;
+    # K=4096 is free). Invalid columns carry the `big` sentinel and are
+    # dropped by the out-of-range scatter mode.
+    center_idx = jnp.where(
+        idxmin < big, idxmin, jnp.float32(HW)
+    ).astype(jnp.int32)
+    center_map = (
+        jnp.zeros(HW + 1, jnp.float32)
+        .at[center_idx]
+        .set(1.0, mode="drop")[:HW]
+        .reshape(H, W)
+    )
 
     T = _diffuse_dyn(ids2d, center_map, niter_qc)
     mu = grad_from_T(ids2d, T)
@@ -579,9 +631,10 @@ def qc_filter_masks_fused(
     )
 
     def s5(c, s_e):
+        w = wstart[c]
         sl_f, ec = slc(ids_f, c), slc(err_map, c)
-        Mf = match(sl_f).astype(jnp.float32)
-        return s_e + (Mf * ec[:, None]).sum(0)
+        Mf = match(sl_f, w).astype(jnp.float32)
+        return wadd(s_e, w, (Mf * ec[:, None]).sum(0))
 
     s_e = jax.lax.fori_loop(0, nchunk, s5, jnp.zeros(K, jnp.float32))
     bad = s_e / jnp.maximum(n2, 1.0) > flow_threshold
@@ -592,24 +645,27 @@ def qc_filter_masks_fused(
         def s6(c, out):
             sl_f = slc(ids_f, c)
             return jax.lax.dynamic_update_slice_in_dim(
-                out, densify_sweep(sl_f, good_f), c * C, 0
+                out, densify_sweep(sl_f, good_f, wstart[c]), c * C, 0
             )
 
-        return jax.lax.fori_loop(
+        out = jax.lax.fori_loop(
             0, nchunk, s6, jnp.zeros(HWp, jnp.int16)
         )[:HW].reshape(H, W)
+        return (out, window_ok) if return_window_ok else out
 
     def s6(c, out):
+        w = wstart[c]
         sl_f = slc(ids_f, c)
-        Mf = match(sl_f).astype(jnp.float32)
-        keep = (Mf * good_f[None, :]).sum(1) > 0
+        Mf = match(sl_f, w).astype(jnp.float32)
+        keep = (Mf * wslice(good_f, w)[None, :]).sum(1) > 0
         return jax.lax.dynamic_update_slice_in_dim(
             out, jnp.where(keep, sl_f, 0), c * C, 0
         )
 
-    return jax.lax.fori_loop(
+    out = jax.lax.fori_loop(
         0, nchunk, s6, jnp.zeros(HWp, jnp.int32)
     )[:HW].reshape(H, W)
+    return (out, window_ok) if return_window_ok else out
 
 
 def qc_prepare(raw: jnp.ndarray, max_size_fraction: float = 0.4):

@@ -804,21 +804,26 @@ class ClassposeModel:
             if self._mesh is not None
             else jnp.asarray(tiles)
         )
-        class_pix, raw, n_inst = self._runners[key](xt)
+        class_pix, raw, n_inst, win_ok = self._runners[key](xt)
         raw = np.asarray(raw)
         n_inst = np.asarray(n_inst)
+        win_ok = np.asarray(win_ok)
         class_pix = np.asarray(class_pix) if self.nclasses > 1 else None
 
         out = []
         for i in range(B0):
-            if raw.dtype == np.int16 and n_inst[i] > QC_MAX_INSTANCES:
-                # the one-hot QC dropped ids beyond its K columns — redo
-                # this (pathological, >K instances) tile through the
-                # scatter-QC program, which has no instance-count bound
+            if raw.dtype == np.int16 and (
+                n_inst[i] > QC_MAX_INSTANCES or not win_ok[i]
+            ):
+                # the one-hot QC dropped ids beyond its K columns, or the
+                # tile's id spread beat the sliding-window sweeps — redo
+                # this pathological tile through the scatter-QC program,
+                # which has no instance-count or locality bound
                 logger.warning(
-                    "tile %d has %d instances (> max_instances=%d): "
-                    "re-running with the unbounded scatter QC",
-                    i, int(n_inst[i]), QC_MAX_INSTANCES,
+                    "tile %d has %d instances (max_instances=%d, "
+                    "window_ok=%s): re-running with the unbounded "
+                    "scatter QC",
+                    i, int(n_inst[i]), QC_MAX_INSTANCES, bool(win_ok[i]),
                 )
                 out.append(
                     self._eval_batch_fused(
@@ -958,13 +963,16 @@ class ClassposeModel:
             if qc_onehot:
                 # dense int16 labels halve the device→host bytes and let
                 # the host skip its densify pass (ascending-by-id order
-                # keeps the final sequential relabeling identical)
-                raw = jax.vmap(
+                # keeps the final sequential relabeling identical);
+                # window_ok=False flags tiles whose id spread beat the
+                # sliding-window sweeps — host falls back like overflow
+                raw, win_ok = jax.vmap(
                     lambda r, d: qc_filter_masks_fused(
                         r, d, flow_threshold=flow_threshold,
                         max_size_fraction=max_size_fraction,
                         max_instances=QC_MAX_INSTANCES,
                         dense_output=True,
+                        return_window_ok=True,
                     )
                 )(raw, dP)
             else:
@@ -974,7 +982,8 @@ class ClassposeModel:
                         max_size_fraction=max_size_fraction,
                     )
                 )(raw, dP)
-            return class_pix, raw, n_inst
+                win_ok = jnp.ones(raw.shape[0], bool)
+            return class_pix, raw, n_inst, win_ok
 
         return jax.jit(batched)
 

@@ -398,3 +398,34 @@ def test_follow_flows_pallas_sampler_matches(monkeypatch):
     )
     # same integration to float tolerance (association order differs)
     assert np.abs(p_pal - p_ref).max() < 1e-3
+
+
+def test_qc_fused_window_guard():
+    """The sliding-window sweeps must flag (not silently corrupt) tiles
+    whose id spread within one chunk exceeds the window."""
+    from classpose_tpu.dynamics.masks import qc_filter_masks_fused
+
+    dp0 = np.zeros((2, 128, 128), np.float32)
+
+    # local ids: fine
+    ok_ids = np.zeros((128, 128), np.int32)
+    ok_ids[5:15, 5:15] = 7
+    ok_ids[40:50, 40:50] = 9
+    out, ok = qc_filter_masks_fused(
+        jnp.asarray(ok_ids), jnp.asarray(dp0), 0.0, 0.4,
+        max_instances=4096, window=64, chunk=2048,
+        return_window_ok=True,
+    )
+    assert bool(ok)
+    assert set(np.unique(np.asarray(out))) == {0, 7, 9}
+
+    # ids 7 and 2000 share a chunk: spread > window=64 → flagged
+    bad_ids = np.zeros((128, 128), np.int32)
+    bad_ids[5:15, 5:15] = 7
+    bad_ids[5:15, 40:50] = 2000
+    _, ok = qc_filter_masks_fused(
+        jnp.asarray(bad_ids), jnp.asarray(dp0), 0.0, 0.4,
+        max_instances=4096, window=64, chunk=2048,
+        return_window_ok=True,
+    )
+    assert not bool(ok)

@@ -105,6 +105,15 @@ def main():
         tile_batch=args.tile_batch,
     ))()
 
+    # warm the fused program (cold ViT-L compiles are minutes and would
+    # otherwise be billed to the slide)
+    import numpy as np
+
+    warm = np.zeros((args.tile_batch, 1024, 1024, 3), np.uint8)
+    t0 = time.time()
+    model.eval_batch(warm, batch_size=args.batch_size, niter=200)
+    print(f"warmup/compile: {time.time() - t0:.0f}s", flush=True)
+
     t0 = time.time()
     result = pipeline_main(run_args, model_override=model)
     wall = time.time() - t0

@@ -152,10 +152,11 @@ STEP_CAP = 2.0  # max px per Euler step; see follow_flows_batched docstring
 # only expensive at ~1M pixels), so small tiles keep the compact gather
 SHIFT_MIN_SIZE = 384
 
-# displacement bound up to which the Pallas VMEM-stripe sampler
-# (ops/sample_pallas.py) replaces the XLA gather on TPU; larger bounds
-# stay gathers (the one-hot term count grows as (2D)²)
-PALLAS_SAMPLER_BOUND_MAX = 32
+# The Pallas VMEM-stripe sampler (ops/sample_pallas.py) replaces the XLA
+# gather on TPU at EVERY displacement bound the geometry supports: its
+# halo covers the static worst case while its loops are sized by the
+# measured per-stripe offset ranges, so large static bounds no longer
+# cost (2D)² work (real flows displace by ≤ a cell radius).
 
 
 def _pallas_sampler_mode() -> str:
@@ -177,8 +178,10 @@ def _sample_static(u: jnp.ndarray, py: jnp.ndarray, px: jnp.ndarray,
                    bound: float, shift_min_size: int = SHIFT_MIN_SIZE):
     """Batched bilinear sample (B, 2, H, W) at (B, H, W) positions, with
     the sampler chosen STATICALLY from a trace-time displacement bound:
-    the Pallas VMEM-stripe one-hot sampler for bound ≤ 32 on TPU, the XLA
-    shift-select for small bounds elsewhere, else the general gather. A
+    the data-adaptive Pallas VMEM-stripe one-hot sampler wherever the
+    geometry supports its halo (all production bounds — its loop counts
+    follow the measured offsets, so even bound-144 passes stay cheap),
+    the XLA shift-select for small bounds elsewhere, else the gather. A
     static choice (vs a runtime lax.cond) keeps the executed arithmetic
     identical for every batch size and content, so eval (B=1) and
     eval_batch (B=N) stay bit-identical — the runtime-cond variant broke
@@ -192,18 +195,17 @@ def _sample_static(u: jnp.ndarray, py: jnp.ndarray, px: jnp.ndarray,
     shiftable = min(H, W) >= shift_min_size
     mode = _pallas_sampler_mode()
     D = int(np.ceil(bound)) + 1
-    Dh = -(-D // 8) * 8
+    from classpose_tpu.ops.sample_pallas import (
+        sampler_supported,
+        shift_sample_pallas,
+    )
+
     pallas_ok = (
         mode != "off"
         and shiftable
-        and bound <= PALLAS_SAMPLER_BOUND_MAX
-        and H % 64 == 0
-        and W % 128 == 0
-        and H >= 64 + 2 * Dh
+        and sampler_supported(H, W, D)
     )
     if pallas_ok:
-        from classpose_tpu.ops.sample_pallas import shift_sample_pallas
-
         out = shift_sample_pallas(
             u, py, px, D=D, interpret=(mode == "interpret")
         )

@@ -1,13 +1,24 @@
-"""Pallas TPU kernel: gather-free bounded-displacement bilinear sampling.
+"""Pallas TPU kernel: gather-free bounded-displacement bilinear sampling
+with DATA-ADAPTIVE work.
 
 follow_flows' binary flow-map composition is dominated by bilinear
 resampling passes. XLA lowers per-pixel resampling to a serialized
-~1M-index gather (~90 ms per pass at 1024²×4 on v5e); for passes whose
-displacement bound is small, the sample can instead be computed as a
-one-hot select over the (2D)² integer offsets — and doing that inside a
-Pallas kernel over VMEM-resident row stripes turns every select term into
-pure VPU work with zero extra HBM traffic (the XLA shift path in
-dynamics/masks.py streams the field from HBM once per roll term).
+~1M-index gather (~90 ms per pass at 1024²x4 on v5e); a bounded
+displacement lets the sample instead be computed as a one-hot select
+over integer offsets — pure VPU work over VMEM-resident row stripes.
+
+The round-3 static kernel looped over the full worst-case offset square
+((2D)² terms), which made it useless past D≈32 (cost caught up with the
+gather). This version keeps the STATIC worst-case halo (correctness:
+every offset the caller's bound permits is covered by the DMA'd stripe)
+but sizes the LOOPS from the measured per-stripe offset ranges, passed
+in as SMEM scalars: real flow fields displace pixels by at most a cell
+radius (and noise flows random-walk to ≤ ~10 px after 200 steps), so the
+executed term count collapses from (2D)² to (actual range)² — measured
+~25x less work at the production composition's late passes (bounds
+64-145) with bit-identical results (skipped terms are exactly the
+all-zero selects; every output pixel still takes its unique matching
+term in the same accumulation order).
 
 Factored form (per output pixel exactly one (oy, ox) offset matches):
 
@@ -15,8 +26,10 @@ Factored form (per output pixel exactly one (oy, ox) offset matches):
     out   = Σ_d  ((oy == d)·(1−wy) + (oy == d−1)·wy) · G_d
 
 with F_d the field rows at offset d, accessed through a DMA'd stripe with
-D-row halos. Lane shifts are circular (pltpu.roll); wrapped values only
-appear where the select mask is zero (positions are clipped to the image
+D-row halos. Row access uses a DYNAMIC pltpu.roll of the stripe (Mosaic
+supports dynamic rotate; a dynamic sublane slice start would not be
+legal) and lane shifts are circular rolls; wrapped values only appear
+where the select mask is zero (positions are clipped to the image
 interior before offsets are formed, exactly as dynamics/masks.py
 ``_shift_sample2`` does).
 
@@ -24,7 +37,8 @@ This evaluates the same four-corner bilinear formula as the XLA samplers
 but in factored (two-level lerp) association order — not bitwise
 identical to ``_bilinear2``'s flat four-term sum, which is fine: program
 identity only matters WITHIN one compiled path (eval and eval_batch share
-the sampler choice), not across backends.
+the sampler choice AND the per-image stripe bounds, so they stay
+bit-identical), not across backends.
 """
 
 from __future__ import annotations
@@ -36,9 +50,60 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# VMEM budget for stripe + working set (bytes); v5e has ~16 MB/core and
+# Mosaic needs slack for spills/temporaries
+_VMEM_BUDGET = 12 * 1024 * 1024
 
-def _sample_kernel(py_ref, px_ref, u_hbm, o_ref, scratch, sem, *, D, Dh,
-                   R, H, W):
+
+def _pick_row_block(H: int, W: int, Dh: int) -> int | None:
+    """Largest row block whose stripe + working set fits the VMEM budget."""
+    for R in (128, 64, 32, 16, 8):
+        if H % R or H < R + 2 * Dh:
+            continue
+        stripe = 2 * (R + 4 * Dh) * W * 4  # f32 scratch
+        rolled = stripe                    # dynamic-roll result
+        work = 8 * (2 * R * W * 4)         # Fd/prev/nxt/g/o/py/px/misc
+        if stripe + rolled + work <= _VMEM_BUDGET:
+            return R
+    return None
+
+
+def sampler_supported(H: int, W: int, D: int) -> bool:
+    """Whether the adaptive stripe sampler can run at this geometry."""
+    Dh = -(-D // 8) * 8
+    return (
+        H % 8 == 0
+        and W % 128 == 0
+        and _pick_row_block(H, W, Dh) is not None
+    )
+
+
+def _stripe_bounds(py, px, H, W, R, D):
+    """Per-(batch, stripe) integer offset ranges, clamped to the static
+    worst case. Must mirror the kernel's y0/x0 arithmetic exactly."""
+    B = py.shape[0]
+    nR = H // R
+    gi = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)[None]
+    gj = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)[None]
+    y0 = jnp.clip(jnp.floor(py), 0, H - 2).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor(px), 0, W - 2).astype(jnp.int32)
+    oy = (y0 - gi).reshape(B, nR, R * W)
+    ox = (x0 - gj).reshape(B, nR, R * W)
+    lo = -D
+    hi = D
+    return jnp.stack(
+        [
+            jnp.clip(oy.min(axis=2), lo, hi),
+            jnp.clip(oy.max(axis=2), lo, hi),
+            jnp.clip(ox.min(axis=2), lo, hi),
+            jnp.clip(ox.max(axis=2), lo, hi),
+        ],
+        axis=2,
+    )  # (B, nR, 4) int32
+
+
+def _sample_kernel(bounds_ref, py_ref, px_ref, u_hbm, o_ref, scratch, sem,
+                   *, D, Dh, R, H, W):
     b = pl.program_id(0)
     r = pl.program_id(1)
     nR = pl.num_programs(1)
@@ -55,11 +120,10 @@ def _sample_kernel(py_ref, px_ref, u_hbm, o_ref, scratch, sem, *, D, Dh,
     # is explicitly zeroed (disjoint from the DMA's destination rows in
     # exactly those blocks, so no write hazard).
     start_u = r * R - 2 * Dh
-    # R, Dh and H are all multiples of 8, so g0/s0 are too — tell Mosaic
     g0 = pl.multiple_of(
         jnp.clip(r * R - Dh, 0, H - (R + 2 * Dh)), 8
     )
-    s0 = pl.multiple_of(g0 - start_u, 8)  # copied rows' stripe offset
+    s0 = pl.multiple_of(g0 - start_u, 8)
 
     @pl.when(r == 0)
     def _():
@@ -94,74 +158,87 @@ def _sample_kernel(py_ref, px_ref, u_hbm, o_ref, scratch, sem, *, D, Dh,
     oy = y0 - gi
     ox = x0 - gj
 
+    dy_lo = bounds_ref[b, r, 0]
+    dy_hi = bounds_ref[b, r, 1]
+    dx_lo = bounds_ref[b, r, 2]
+    dx_hi = bounds_ref[b, r, 3]
+
     dma.wait()
 
     o_ref[:] = jnp.zeros(o_ref.shape, o_ref.dtype)
 
     # rows of scratch: global row g = start_u + s ⇒ output row i at
-    # offset d reads s = i + 2·Dh + d. The d loop is a fori_loop so only
-    # one stripe view is live at a time (2D+1 unrolled static slices get
-    # hoisted by Mosaic and blow the 16 MB VMEM stack at D ≥ 17), and
-    # the per-d row offset is realized by CARRYING a vertically rolled
-    # copy of the stripe — rolled by one more row each iteration (static
-    # shift), then sliced at the static 8-aligned offset 2·Dh. Mosaic
-    # rejects both unaligned and dynamic sublane slice starts, so this
-    # rotate-and-slice is the lane/sublane-legal formulation.
+    # offset d reads s = i + 2·Dh + d, realized as a DYNAMIC roll of the
+    # stripe by (−d mod nrows) followed by a static 8-aligned slice at
+    # 2·Dh (Mosaic rejects dynamic sublane slice starts but supports
+    # dynamic rotate). The d loop covers [dy_lo, dy_hi+1] — the bilinear
+    # row footprint of the measured offsets — instead of the worst-case
+    # [−D, D]; the dx loop likewise covers [dx_lo, dx_hi] with a dynamic
+    # initial lane roll advanced one lane per iteration (static −1 roll
+    # carried, so only the first roll is dynamic).
     nrows = R + 4 * Dh
-    cur0 = pltpu.roll(scratch[:], D % nrows, axis=1)  # d = -D view
+    n_d = dy_hi + 2 - dy_lo
+    n_x = dx_hi + 1 - dx_lo
 
-    def d_body(j, cur):
-        d = j - D
+    def d_body(jd, _):
+        d = dy_lo + jd
+        cur = pltpu.roll(scratch[:], jnp.mod(-d, nrows), axis=1)
         Fd = cur[:, 2 * Dh : 2 * Dh + R, :]  # (2, R, W)
-        g = jnp.zeros(o_ref.shape, o_ref.dtype)
-        # pltpu.roll requires non-negative shifts; rolls are circular so
-        # take them mod W
-        prev = pltpu.roll(Fd, D % W, axis=2)  # dx = -D roll
-        for dx in range(-D, D):
-            nxt = pltpu.roll(Fd, (-(dx + 1)) % W, axis=2)
+
+        prev0 = pltpu.roll(Fd, jnp.mod(-dx_lo, W), axis=2)
+
+        def x_body(t, carry):
+            g, prev = carry
+            dx = dx_lo + t
+            nxt = pltpu.roll(prev, W - 1, axis=2)
             selx = (ox == dx).astype(jnp.float32)[None]
             g = g + selx * ((1.0 - wx) * prev + wx * nxt)
-            prev = nxt
+            return g, nxt
+
+        g, _ = jax.lax.fori_loop(
+            0, n_x, x_body,
+            (jnp.zeros(o_ref.shape, o_ref.dtype), prev0),
+        )
         wrow = (
             (oy == d).astype(jnp.float32)[None] * (1.0 - wy)
             + (oy == d - 1).astype(jnp.float32)[None] * wy
         )
         o_ref[:] = o_ref[:] + wrow * g
-        return pltpu.roll(cur, nrows - 1, axis=1)  # advance d by one row
+        return 0
 
-    jax.lax.fori_loop(0, 2 * D + 1, d_body, cur0)
+    jax.lax.fori_loop(0, n_d, d_body, 0)
 
 
-@partial(jax.jit, static_argnames=("D", "row_block", "interpret"))
+@partial(jax.jit, static_argnames=("D", "interpret"))
 def shift_sample_pallas(
     u: jnp.ndarray,
     py: jnp.ndarray,
     px: jnp.ndarray,
     D: int,
-    row_block: int = 64,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Sample (B, 2, H, W) ``u`` at float positions (B, H, W) whose floor
     offsets from each pixel lie in [-D, D-1] (displacement bound D-1).
-    Returns (B, 2, H, W) float32."""
+    Returns (B, 2, H, W) float32. Work is sized by the measured
+    per-stripe offset ranges; results are exact for any content within
+    the static bound."""
     B, C, H, W = u.shape
     assert C == 2, u.shape
     Dh = -(-D // 8) * 8  # halo rounded to the f32 sublane tile
-    if Dh > 24:
-        row_block = min(row_block, 32)  # big halos: halve the live set
-    R = min(row_block, H)
-    assert H % R == 0 and R % 8 == 0 and H % 8 == 0, (H, R)
-    assert H >= R + 2 * Dh, (H, R, D)
+    R = _pick_row_block(H, W, Dh)
+    assert R is not None, (H, W, D)
 
     u = u.astype(jnp.float32)
     py = py.astype(jnp.float32)
     px = px.astype(jnp.float32)
+    bounds = _stripe_bounds(py, px, H, W, R, D)
 
     return pl.pallas_call(
         partial(_sample_kernel, D=D, Dh=Dh, R=R, H=H, W=W),
         out_shape=jax.ShapeDtypeStruct((B, 2, H, W), jnp.float32),
         grid=(B, H // R),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (B, nR, 4) bounds
             pl.BlockSpec((None, R, W), lambda b, r: (b, r, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, R, W), lambda b, r: (b, r, 0),
@@ -178,4 +255,4 @@ def shift_sample_pallas(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(py, px, u)
+    )(bounds, py, px, u)

@@ -90,6 +90,62 @@ def convert_image_stack(x: np.ndarray) -> np.ndarray:
     return np.stack([convert_image(p) for p in x])
 
 
+def _pack_fused_outputs(class_pix, raw, n_inst, win_ok, ncls):
+    """Pack the fused eval_batch outputs into ONE (B, nbytes) uint8 buffer.
+
+    The axon tunnel charges ~90 ms of round-trip latency PER device→host
+    transfer regardless of size; the four per-batch result arrays cost
+    ~4 round trips when fetched separately. Packing them into a single
+    buffer (explicit little-endian byte arithmetic — endianness-neutral
+    across backends, unlike bitcast_convert_type) makes the readback one
+    transfer. The class-argmax plane is omitted entirely for
+    single-class models (it is all zeros there).
+    """
+    import jax.numpy as jnp
+
+    B = raw.shape[0]
+    nb = 2 if raw.dtype == jnp.int16 else 4
+    r = raw.astype(jnp.int32).reshape(B, -1)
+    parts = [
+        ((r >> (8 * k)) & 0xFF).astype(jnp.uint8) for k in range(nb)
+    ]
+    if ncls > 1:
+        assert class_pix.dtype == jnp.int8, class_pix.dtype  # one byte/px
+        parts.append(class_pix.astype(jnp.uint8).reshape(B, -1))
+    ni = n_inst.astype(jnp.int32)
+    parts.append(
+        jnp.stack(
+            [((ni >> (8 * k)) & 0xFF).astype(jnp.uint8) for k in range(4)],
+            axis=1,
+        )
+    )
+    parts.append(win_ok.astype(jnp.uint8)[:, None])
+    return jnp.concatenate(parts, axis=1)
+
+
+def _unpack_fused_outputs(buf: np.ndarray, S: int, raw_int16: bool, ncls: int):
+    """Host-side inverse of :func:`_pack_fused_outputs`."""
+    B = buf.shape[0]
+    npx = S * S
+    nb = 2 if raw_int16 else 4
+    raw = np.zeros((B, npx), np.int32)
+    for k in range(nb):
+        raw |= buf[:, k * npx : (k + 1) * npx].astype(np.int32) << (8 * k)
+    o = nb * npx
+    raw = raw.reshape(B, S, S)
+    if raw_int16:
+        raw = raw.astype(np.int16)
+    if ncls > 1:
+        class_pix = buf[:, o : o + npx].astype(np.int8).reshape(B, S, S)
+        o += npx
+    else:
+        class_pix = None
+    ni = buf[:, o : o + 4].astype(np.int32)
+    n_inst = ni[:, 0] | (ni[:, 1] << 8) | (ni[:, 2] << 16) | (ni[:, 3] << 24)
+    win_ok = buf[:, o + 4].astype(bool)
+    return class_pix, raw, n_inst, win_ok
+
+
 def compute_class_masks_from_pixels(
     masks: np.ndarray, pixel_cls: np.ndarray, n_classes: int
 ) -> np.ndarray:
@@ -804,11 +860,13 @@ class ClassposeModel:
             if self._mesh is not None
             else jnp.asarray(tiles)
         )
-        class_pix, raw, n_inst, win_ok = self._runners[key](xt)
-        raw = np.asarray(raw)
-        n_inst = np.asarray(n_inst)
-        win_ok = np.asarray(win_ok)
-        class_pix = np.asarray(class_pix) if self.nclasses > 1 else None
+        fn, raw_int16 = self._runners[key]
+        # ONE packed uint8 buffer = one device→host round trip (the
+        # tunnel charges ~90 ms latency per fetch; see _pack_fused_outputs)
+        buf = np.asarray(fn(xt))
+        class_pix, raw, n_inst, win_ok = _unpack_fused_outputs(
+            buf, S, raw_int16, self.nclasses
+        )
 
         out = []
         for i in range(B0):
@@ -983,9 +1041,11 @@ class ClassposeModel:
                     )
                 )(raw, dP)
                 win_ok = jnp.ones(raw.shape[0], bool)
-            return class_pix, raw, n_inst, win_ok
+            return _pack_fused_outputs(
+                class_pix, raw, n_inst, win_ok, ncls
+            )
 
-        return jax.jit(batched)
+        return jax.jit(batched), qc_onehot
 
     def _build_batched(self, B, S, batch_size, niter, percentile_subsample,
                        cellprob_threshold=0.0, augment=False):

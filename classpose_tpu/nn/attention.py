@@ -30,8 +30,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, scale,
     q = q_ref[0]  # (L, hd)
     k = k_ref[0]
     v = v_ref[0]
-    rh = rh_ref[0].astype(jnp.float32)  # (L, H)
-    rw = rw_ref[0].astype(jnp.float32)  # (L, W)
+    rh = rh_ref[0]  # (L, H)
+    rw = rw_ref[0]  # (L, W)
 
     s = jax.lax.dot_general(
         q, k,
@@ -43,16 +43,19 @@ def _attn_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, scale,
     #   bias_h[i, j] = rh[i, j // W] — an elementwise column repeat, which
     #   Mosaic can't reshape/jnp.repeat into; build it as a tiny one-hot
     #   expansion matmul rh @ E with E[h, j] = (j // W == h) (MXU-cheap:
-    #   (L,H)x(H,L), ~25% of the qk matmul's FLOPs).
+    #   (L,H)x(H,L), ~25% of the qk matmul's FLOPs). The dot runs in the
+    #   input dtype with f32 accumulation — E is exactly 0/1 so each
+    #   output is a pure selection, bit-identical to an fp32 dot but
+    #   without the multi-pass fp32-MXU penalty.
     #   bias_w[i, j] = rw[i, j % W] — whole-block tiling, which IS
     #   pltpu.repeat's semantics (its impl concatenates copies).
     L, W = rw.shape
     Hh = rh.shape[1]
     rows = jax.lax.broadcasted_iota(jnp.int32, (Hh, L), 0)
     cols_h = jax.lax.broadcasted_iota(jnp.int32, (Hh, L), 1) // W
-    expand = (rows == cols_h).astype(jnp.float32)
+    expand = (rows == cols_h).astype(rh.dtype)
     bias_h = jax.lax.dot(rh, expand, preferred_element_type=jnp.float32)
-    bias_w = pltpu.repeat(rw, L // W, axis=1)
+    bias_w = pltpu.repeat(rw, L // W, axis=1).astype(jnp.float32)
     s = s + bias_h + bias_w
 
     m = jnp.max(s, axis=1, keepdims=True)
@@ -131,12 +134,8 @@ def _attn_kernel_blc(q_ref, k_ref, v_ref, rel_ref, o_ref, *, scale, hd,
         q = q_ref[:, h * hd:(h + 1) * hd]  # (L, hd)
         k = k_ref[:, h * hd:(h + 1) * hd]
         v = v_ref[:, h * hd:(h + 1) * hd]
-        rh = rel_ref[:, h * rel_step:h * rel_step + grid_h].astype(
-            jnp.float32
-        )  # (L, H)
-        rw = rel_ref[
-            :, h * rel_step + grid_h:(h + 1) * rel_step
-        ].astype(jnp.float32)  # (L, W)
+        rh = rel_ref[:, h * rel_step:h * rel_step + grid_h]  # (L, H)
+        rw = rel_ref[:, h * rel_step + grid_h:(h + 1) * rel_step]  # (L, W)
 
         s = jax.lax.dot_general(
             q, k,
@@ -144,13 +143,19 @@ def _attn_kernel_blc(q_ref, k_ref, v_ref, rel_ref, o_ref, *, scale, hd,
             preferred_element_type=jnp.float32,
         ) * scale  # (L, L)
 
+        # bias expand dot in the INPUT dtype with f32 accumulation: the
+        # expand matrix is exactly 0/1, so every output element is a
+        # plain selection of an rh value — bit-identical to the fp32
+        # dot, but ~4-8x faster (fp32 MXU matmuls decompose into
+        # multiple bf16 passes on v5e)
         rows = jax.lax.broadcasted_iota(jnp.int32, (grid_h, L), 0)
         cols_h = jax.lax.broadcasted_iota(jnp.int32, (grid_h, L), 1) \
             // grid_w
-        expand = (rows == cols_h).astype(jnp.float32)
+        expand = (rows == cols_h).astype(rh.dtype)
         bias_h = jax.lax.dot(rh, expand,
                              preferred_element_type=jnp.float32)
-        bias_w = pltpu.repeat(rw, L // grid_w, axis=1)
+        bias_w = pltpu.repeat(rw, L // grid_w, axis=1).astype(
+            jnp.float32)
         s = s + bias_h + bias_w
 
         m = jnp.max(s, axis=1, keepdims=True)
@@ -161,7 +166,8 @@ def _attn_kernel_blc(q_ref, k_ref, v_ref, rel_ref, o_ref, *, scale, hd,
         o_ref[:, h * hd:(h + 1) * hd] = o.astype(o_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("scale", "grid_hw", "interpret"))
+@partial(jax.jit, static_argnames=("scale", "grid_hw", "interpret",
+                                   "num_heads"))
 def flash_attention_relpos_blc(
     qkv: jnp.ndarray,
     rel_h: jnp.ndarray,
@@ -169,15 +175,26 @@ def flash_attention_relpos_blc(
     scale: float,
     grid_hw: tuple[int, int] = (32, 32),
     interpret: bool = False,
+    num_heads: int | None = None,
 ) -> jnp.ndarray:
-    """Attention in the token-major layout: qkv (B, L, 3, n, hd) as the
-    qkv projection emits it, rel_h (B, L, n, H), rel_w (B, L, n, W).
-    Returns (B, L, n, hd) — a free reshape away from the (B, H, W, C)
-    input of the output projection. Same math as
+    """Attention in the token-major layout: qkv (B, L, 3·n·hd) exactly as
+    the qkv projection emits it (pass ``num_heads``; a 5-D
+    (B, L, 3, n, hd) input is also accepted for compatibility — but the
+    3-D form is the fast path: materializing the 5-D shape costs a full
+    ~3 ms/layer relayout at production size because its (n, hd) minor
+    dims retile the 630 MB tensor), rel_h (B, L, n, H),
+    rel_w (B, L, n, W). Returns (B, L, n, hd) — a free reshape away from
+    the (B, H, W, C) input of the output projection. Same math as
     :func:`flash_attention_relpos` (shared kernel body); heads are
     processed in pairs so every HBM block slice is 128 lanes wide."""
-    B, L, three, n, hd = qkv.shape
-    assert three == 3
+    if qkv.ndim == 5:
+        B, L, three, n, hd = qkv.shape
+        assert three == 3
+        qkv = qkv.reshape(B, L, 3 * n * hd)
+    else:
+        B, L, C3 = qkv.shape
+        n = num_heads if num_heads is not None else rel_h.shape[2]
+        hd = C3 // (3 * n)
     H, W = grid_hw
     assert L == H * W, (L, H, W)
     pair = max(1, 128 // hd)
@@ -186,7 +203,7 @@ def flash_attention_relpos_blc(
     bw = hd * pair              # qkv block width (128 for hd=64)
     nh = (n * hd) // bw         # blocks per q/k/v section
 
-    qkv2 = qkv.reshape(B, L, 3 * n * hd)          # free
+    qkv2 = qkv
     # rel layout: per head [rel_h | rel_w] (H+W wide), heads consecutive —
     # a pair block is pair·(H+W) wide (=128 for the SAM 32×32 grid)
     rel = jnp.concatenate([rel_h, rel_w], axis=-1).reshape(

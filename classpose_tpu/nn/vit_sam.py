@@ -142,10 +142,11 @@ class Attention(nn.Module):
             )
             Rh = get_rel_pos(H, H, rel_pos_h).astype(self.dtype)
             Rw = get_rel_pos(W, W, rel_pos_w).astype(self.dtype)
-            qkv5 = qkv.reshape(B, L, 3, self.num_heads, head_dim)
-            q_hw = qkv.reshape(B, H, W, 3, self.num_heads, head_dim)[
-                :, :, :, 0
-            ]
+            # q is the first C lanes of the qkv tensor: slicing the minor
+            # axis (then splitting it for the einsum) fuses into the
+            # einsum's operand read, whereas reshaping the FULL qkv to
+            # (..., 3, n, hd) retiles all 630 MB (~3 ms/layer, r3 trace)
+            q_hw = qkv[..., :C].reshape(B, H, W, self.num_heads, head_dim)
             rel_h = jnp.einsum("bhwnc,hkc->bhwnk", q_hw, Rh).reshape(
                 B, L, self.num_heads, H
             )
@@ -155,7 +156,8 @@ class Attention(nn.Module):
             from classpose_tpu.nn.attention import flash_attention_relpos_blc
 
             out = flash_attention_relpos_blc(
-                qkv5, rel_h, rel_w, float(scale), grid_hw=(H, W)
+                qkv.reshape(B, L, 3 * C), rel_h, rel_w, float(scale),
+                grid_hw=(H, W), num_heads=self.num_heads,
             )
             out = out.reshape(B, H, W, C)
             return nn.Dense(C, dtype=self.dtype, name="proj")(out)

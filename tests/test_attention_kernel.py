@@ -96,3 +96,24 @@ def test_blc_kernel_matches_reference(seed):
         np.asarray(ref, np.float32),
         atol=2e-3, rtol=2e-3,
     )
+
+
+def test_blc_kernel_flat_qkv_matches_5d():
+    """The production 3-D (B, L, 3C) input form — fed straight from the
+    qkv projection with no 5-D relayout — must be bit-identical to the
+    5-D (B, L, 3, n, hd) form (same kernel, same block slicing)."""
+    rng = np.random.default_rng(7)
+    qkv5 = jnp.asarray(rng.normal(size=(B, L, 3, n, hd)), jnp.float32)
+    rel_h = jnp.asarray(rng.normal(size=(B, L, n, H)) * 2, jnp.float32)
+    rel_w = jnp.asarray(rng.normal(size=(B, L, n, W)) * 2, jnp.float32)
+
+    out5 = flash_attention_relpos_blc(
+        qkv5, rel_h, rel_w, hd**-0.5, grid_hw=(H, W), interpret=True
+    )
+    out3 = flash_attention_relpos_blc(
+        qkv5.reshape(B, L, 3 * n * hd), rel_h, rel_w, hd**-0.5,
+        grid_hw=(H, W), interpret=True, num_heads=n,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out5, np.float32), np.asarray(out3, np.float32)
+    )

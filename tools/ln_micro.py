@@ -64,6 +64,16 @@ def main():
         return y @ w2
 
     @jax.jit
+    def mm_barrier_ln_mm_x8(x):
+        # optimization_barrier between the matmul and the LN stats: keeps
+        # the stat reduction OUT of the matmul epilogue fusion, so the
+        # matmul runs at roofline and the LN is a separate bandwidth pass
+        y = x
+        for _ in range(8):
+            y = ln(jax.lax.optimization_barrier(y @ w1))
+        return y @ w2
+
+    @jax.jit
     def mm_mm_x8(x):
         y = x
         for _ in range(8):
@@ -77,11 +87,13 @@ def main():
     t_mm = med(R(mm_only))
     t_sand = med(R(mm_ln_mm))
     t_x8 = med(R(mm_ln_mm_x8))
+    t_x8b = med(R(mm_barrier_ln_mm_x8))
     t_x8n = med(R(mm_mm_x8))
     print(f"LN alone           : {t_ln:7.2f} ms")
     print(f"mm-mm (no LN)      : {t_mm:7.2f} ms")
     print(f"mm-LN-mm           : {t_sand:7.2f} ms   (LN in-context: {t_sand-t_mm:+.2f})")
     print(f"(mm-LN)x8-mm       : {t_x8:7.2f} ms")
+    print(f"(mm-BAR-LN)x8-mm   : {t_x8b:7.2f} ms   (barrier effect/LN: {(t_x8b-t_x8)/8:+.2f})")
     print(f"(mm)x8-mm          : {t_x8n:7.2f} ms   (per-LN in-context: {(t_x8-t_x8n)/8:+.2f})")
 
 

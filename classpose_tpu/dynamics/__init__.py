@@ -14,6 +14,7 @@ from classpose_tpu.dynamics.masks import (
     compute_masks,
     follow_flows,
     get_masks_from_positions,
+    get_masks_from_positions_batched,
     flow_errors,
     fill_holes_and_remove_small_masks,
 )
@@ -25,6 +26,7 @@ __all__ = [
     "compute_masks",
     "follow_flows",
     "get_masks_from_positions",
+    "get_masks_from_positions_batched",
     "flow_errors",
     "fill_holes_and_remove_small_masks",
 ]

@@ -307,29 +307,98 @@ def get_masks_from_positions(
     id at exactly its seed pixel, 0 elsewhere; its max is the seed
     count).
     """
-    H, W = iscell.shape
-    fy = jnp.clip(jnp.round(p[0]), 0, H - 1).astype(jnp.int32)
-    fx = jnp.clip(jnp.round(p[1]), 0, W - 1).astype(jnp.int32)
-    flat = (fy * W + fx).ravel()
-    h = (
-        jnp.zeros(H * W, jnp.float32)
-        .at[flat]
-        .add(iscell.astype(jnp.float32).ravel())
-        .reshape(H, W)
+    out = get_masks_from_positions_batched(
+        p[None], iscell[None], n_expand=n_expand,
+        seed_min_count=seed_min_count, basin_min_count=basin_min_count,
+        return_seeds=return_seeds,
     )
+    if return_seeds:
+        return out[0][0], out[1][0]
+    return out[0]
+
+
+# Static displacement bound for the get_masks Pallas kernels (histogram +
+# final label sample): converged positions sit within a cell radius of
+# their pixel, far below 63 px for histology; tiles that beat it fall
+# back to the XLA scatter/gather (bit-exact either way — all the
+# arithmetic is exact small-integer f32).
+GET_MASKS_PALLAS_BOUND = 64
+
+
+@partial(jax.jit, static_argnames=("n_expand", "return_seeds"))
+def get_masks_from_positions_batched(
+    p: jnp.ndarray,
+    iscell: jnp.ndarray,
+    n_expand: int = 5,
+    seed_min_count: float = 10.0,
+    basin_min_count: float = 2.0,
+    return_seeds: bool = False,
+):
+    """Natively batched :func:`get_masks_from_positions` ((B, 2, H, W)
+    positions, (B, H, W) foreground). On TPU the two ~1M-dynamic-index
+    ops — the landing-position histogram (scatter-add) and the final
+    label lookup (gather) — run as bounded-displacement Pallas stripe
+    kernels (ops/sample_pallas.py) when every tile's displacement fits
+    ``GET_MASKS_PALLAS_BOUND``; a runtime guard falls back to the XLA
+    scatter/gather otherwise. Both paths are bit-exact (integer counts,
+    0/1 bilinear weights at integer positions), so the guard cannot
+    change results."""
+    B, _, H, W = p.shape
+    fy = jnp.clip(jnp.round(p[:, 0]), 0, H - 1).astype(jnp.int32)
+    fx = jnp.clip(jnp.round(p[:, 1]), 0, W - 1).astype(jnp.int32)
+    cellf = iscell.astype(jnp.float32)
+
+    from classpose_tpu.ops.sample_pallas import (
+        _pick_row_block,
+        _stripe_bounds_int,
+        sampler_supported,
+        scatter_count_pallas,
+        shift_sample_pallas,
+    )
+
+    mode = _pallas_sampler_mode()
+    D = GET_MASKS_PALLAS_BOUND
+    pallas_ok = (
+        mode != "off"
+        and sampler_supported(H, W, D, 3)
+        and sampler_supported(H, W, D, 1)
+    )
+    interpret = mode == "interpret"
+
+    def h_xla(fy, fx, cellf):
+        flat = (fy * W + fx).reshape(B, H * W)
+        return jax.vmap(
+            lambda f, c: jnp.zeros(H * W, jnp.float32).at[f].add(c)
+        )(flat, cellf.reshape(B, H * W)).reshape(B, H, W)
+
+    if pallas_ok:
+        R = _pick_row_block(H, W, -(-D // 8) * 8, 3)
+        _, ok_tiles = _stripe_bounds_int(fy, fx, H, W, R, D)
+        ok = jnp.all(ok_tiles)
+        h = jax.lax.cond(
+            ok,
+            lambda a, b, c: scatter_count_pallas(
+                a, b, c, D, interpret=interpret),
+            h_xla,
+            fy, fx, cellf,
+        )
+    else:
+        h = h_xla(fy, fx, cellf)
+
     hmax = jax.lax.reduce_window(
-        h, -jnp.inf, jax.lax.max, (5, 5), (1, 1), "SAME"
+        h, -jnp.inf, jax.lax.max, (1, 5, 5), (1, 1, 1), "SAME"
     )
     seeds = (h >= hmax) & (h > seed_min_count)
 
-    seeds_flat = seeds.ravel()
-    rank = jnp.cumsum(seeds_flat.astype(jnp.int32))
-    seed_lab = jnp.where(seeds_flat, rank, 0).reshape(H, W)
+    rank = jnp.cumsum(
+        seeds.reshape(B, H * W).astype(jnp.int32), axis=1
+    ).reshape(B, H, W)
+    seed_lab = jnp.where(seeds, rank, 0)
     grow = h > basin_min_count
 
     def body(_, lab):
         lab_max = jax.lax.reduce_window(
-            lab, 0, jax.lax.max, (3, 3), (1, 1), "SAME"
+            lab, 0, jax.lax.max, (1, 3, 3), (1, 1, 1), "SAME"
         )
         lab = jnp.where(grow & (lab == 0), lab_max, lab)
         # seeds always keep their own id
@@ -337,7 +406,24 @@ def get_masks_from_positions(
 
     lab = jax.lax.fori_loop(0, n_expand, body, seed_lab)
 
-    masks = lab.ravel()[flat].reshape(H, W)
+    def m_xla(lab, fy, fx):
+        flat = (fy * W + fx).reshape(B, H * W)
+        return jax.vmap(lambda l, f: l.ravel()[f])(lab, flat).reshape(
+            B, H, W
+        )
+
+    if pallas_ok:
+        masks = jax.lax.cond(
+            ok,
+            lambda l, a, b: shift_sample_pallas(
+                l.astype(jnp.float32)[:, None], a.astype(jnp.float32),
+                b.astype(jnp.float32), D, interpret=interpret,
+            )[:, 0].astype(jnp.int32),
+            m_xla,
+            lab, fy, fx,
+        )
+    else:
+        masks = m_xla(lab, fy, fx)
     masks = jnp.where(iscell, masks, 0)
     if return_seeds:
         return masks, seed_lab

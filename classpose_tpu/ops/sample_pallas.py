@@ -55,12 +55,12 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def _pick_row_block(H: int, W: int, Dh: int) -> int | None:
+def _pick_row_block(H: int, W: int, Dh: int, C: int = 2) -> int | None:
     """Largest row block whose stripe + working set fits the VMEM budget."""
     for R in (128, 64, 32, 16, 8):
         if H % R or H < R + 2 * Dh:
             continue
-        stripe = 2 * (R + 4 * Dh) * W * 4  # f32 scratch
+        stripe = C * (R + 4 * Dh) * W * 4  # f32 scratch
         rolled = stripe                    # dynamic-roll result
         work = 8 * (2 * R * W * 4)         # Fd/prev/nxt/g/o/py/px/misc
         if stripe + rolled + work <= _VMEM_BUDGET:
@@ -68,13 +68,13 @@ def _pick_row_block(H: int, W: int, Dh: int) -> int | None:
     return None
 
 
-def sampler_supported(H: int, W: int, D: int) -> bool:
+def sampler_supported(H: int, W: int, D: int, C: int = 2) -> bool:
     """Whether the adaptive stripe sampler can run at this geometry."""
     Dh = -(-D // 8) * 8
     return (
         H % 8 == 0
         and W % 128 == 0
-        and _pick_row_block(H, W, Dh) is not None
+        and _pick_row_block(H, W, Dh, C) is not None
     )
 
 
@@ -125,16 +125,18 @@ def _sample_kernel(bounds_ref, py_ref, px_ref, u_hbm, o_ref, scratch, sem,
     )
     s0 = pl.multiple_of(g0 - start_u, 8)
 
+    C = scratch.shape[0]
+
     @pl.when(r == 0)
     def _():
         scratch[:, Dh : 2 * Dh, :] = jnp.zeros(
-            (2, Dh, W), scratch.dtype
+            (C, Dh, W), scratch.dtype
         )
 
     @pl.when(r == nR - 1)
     def _():
         scratch[:, R + 2 * Dh : R + 3 * Dh, :] = jnp.zeros(
-            (2, Dh, W), scratch.dtype
+            (C, Dh, W), scratch.dtype
         )
 
     dma = pltpu.make_async_copy(
@@ -217,15 +219,15 @@ def shift_sample_pallas(
     D: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Sample (B, 2, H, W) ``u`` at float positions (B, H, W) whose floor
+    """Sample (B, C, H, W) ``u`` at float positions (B, H, W) whose floor
     offsets from each pixel lie in [-D, D-1] (displacement bound D-1).
-    Returns (B, 2, H, W) float32. Work is sized by the measured
+    Returns (B, C, H, W) float32. Work is sized by the measured
     per-stripe offset ranges; results are exact for any content within
-    the static bound."""
+    the static bound. C is small (1-4: flow fields, label maps)."""
     B, C, H, W = u.shape
-    assert C == 2, u.shape
+    assert 1 <= C <= 4, u.shape
     Dh = -(-D // 8) * 8  # halo rounded to the f32 sublane tile
-    R = _pick_row_block(H, W, Dh)
+    R = _pick_row_block(H, W, Dh, C)
     assert R is not None, (H, W, D)
 
     u = u.astype(jnp.float32)
@@ -235,7 +237,7 @@ def shift_sample_pallas(
 
     return pl.pallas_call(
         partial(_sample_kernel, D=D, Dh=Dh, R=R, H=H, W=W),
-        out_shape=jax.ShapeDtypeStruct((B, 2, H, W), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, C, H, W), jnp.float32),
         grid=(B, H // R),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # (B, nR, 4) bounds
@@ -245,10 +247,10 @@ def shift_sample_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),  # whole field stays in HBM
         ],
-        out_specs=pl.BlockSpec((None, 2, R, W), lambda b, r: (b, 0, r, 0),
+        out_specs=pl.BlockSpec((None, C, R, W), lambda b, r: (b, 0, r, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, R + 4 * Dh, W), jnp.float32),
+            pltpu.VMEM((C, R + 4 * Dh, W), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
@@ -256,3 +258,184 @@ def shift_sample_pallas(
         ),
         interpret=interpret,
     )(bounds, py, px, u)
+
+
+def _stripe_bounds_int(fy, fx, H, W, R, D):
+    """Per-(batch, output-stripe) ranges of the REVERSE offsets d = i − q
+    for integer targets q = (fy, fx) of sources i, plus the guard scalar.
+
+    A source at i lands on q = i + off with off = (fy−i_y, fx−i_x); the
+    output-stripe loop iterates d = −off over sources reachable from the
+    stripe, so the per-source forward ranges are window-combined over the
+    stripes a ±D halo can touch and negated. Returns ((B, nR, 4) int32
+    bounds, (B,) bool within-bound guard)."""
+    B = fy.shape[0]
+    nR = H // R
+    gi = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)[None]
+    gj = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)[None]
+    oy = fy - gi
+    ox = fx - gj
+    ok = (jnp.max(jnp.abs(oy), axis=(1, 2)) <= D - 1) & (
+        jnp.max(jnp.abs(ox), axis=(1, 2)) <= D - 1
+    )
+    oy = jnp.clip(oy, -D, D).reshape(B, nR, R * W)
+    ox = jnp.clip(ox, -D, D).reshape(B, nR, R * W)
+    f_lo_y = oy.min(axis=2)  # (B, nR) forward per-source-stripe ranges
+    f_hi_y = oy.max(axis=2)
+    f_lo_x = ox.min(axis=2)
+    f_hi_x = ox.max(axis=2)
+
+    # window-combine over source stripes within reach of each output
+    # stripe (reach = ceil(D / R) stripes each way), then negate
+    k = -(-D // R)
+    pad = (k, k)
+    big = jnp.int32(D)
+
+    def wmin(a):
+        ap = jnp.pad(a, ((0, 0), pad), constant_values=big)
+        return jnp.min(
+            jnp.stack([ap[:, j : j + nR] for j in range(2 * k + 1)]), 0
+        )
+
+    def wmax(a):
+        ap = jnp.pad(a, ((0, 0), pad), constant_values=-big)
+        return jnp.max(
+            jnp.stack([ap[:, j : j + nR] for j in range(2 * k + 1)]), 0
+        )
+
+    bounds = jnp.stack(
+        [-wmax(f_hi_y), -wmin(f_lo_y), -wmax(f_hi_x), -wmin(f_lo_x)],
+        axis=2,
+    )  # (B, nR, 4): d ranges [lo, hi] per axis
+    return bounds, ok
+
+
+def _count_kernel(bounds_ref, u_hbm, o_ref, scratch, sem, *, D, Dh, R, H,
+                  W):
+    """out[q] = Σ_{d} [fy[q+d] == q_y]·[fx[q+d] == q_x]·cell[q+d] — the
+    transpose of :func:`_sample_kernel`: a bounded-displacement
+    scatter-ADD (histogram of integer landing positions) computed
+    gather/scatter-free as one-hot accumulation over rolled stripes.
+    ``u_hbm`` stacks (fy, fx, cell) as 3 f32 channels. Margin rows are
+    zeroed like the sampler's; their cell channel is 0 so they can never
+    contribute a count (fy=fx=0 alone would otherwise spuriously match
+    output pixel (0,0))."""
+    b = pl.program_id(0)
+    r = pl.program_id(1)
+    nR = pl.num_programs(1)
+
+    start_u = r * R - 2 * Dh
+    g0 = pl.multiple_of(
+        jnp.clip(r * R - Dh, 0, H - (R + 2 * Dh)), 8
+    )
+    s0 = pl.multiple_of(g0 - start_u, 8)
+
+    @pl.when(r == 0)
+    def _():
+        scratch[:, Dh : 2 * Dh, :] = jnp.zeros((3, Dh, W), scratch.dtype)
+
+    @pl.when(r == nR - 1)
+    def _():
+        scratch[:, R + 2 * Dh : R + 3 * Dh, :] = jnp.zeros(
+            (3, Dh, W), scratch.dtype
+        )
+
+    dma = pltpu.make_async_copy(
+        u_hbm.at[b, :, pl.ds(g0, R + 2 * Dh), :],
+        scratch.at[:, pl.ds(s0, R + 2 * Dh), :],
+        sem,
+    )
+    dma.start()
+
+    gi = (
+        r * R + jax.lax.broadcasted_iota(jnp.int32, (R, W), 0)
+    ).astype(jnp.float32)
+    gj = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1).astype(
+        jnp.float32
+    )
+
+    dy_lo = bounds_ref[b, r, 0]
+    dy_hi = bounds_ref[b, r, 1]
+    dx_lo = bounds_ref[b, r, 2]
+    dx_hi = bounds_ref[b, r, 3]
+
+    dma.wait()
+
+    nrows = R + 4 * Dh
+    n_d = dy_hi + 1 - dy_lo
+    n_x = dx_hi + 1 - dx_lo
+
+    def d_body(jd, acc):
+        d = dy_lo + jd
+        cur = pltpu.roll(scratch[:], jnp.mod(-d, nrows), axis=1)
+        Fd = cur[:, 2 * Dh : 2 * Dh + R, :]  # (3, R, W)
+
+        prev0 = pltpu.roll(Fd, jnp.mod(-dx_lo, W), axis=2)
+
+        def x_body(t, carry):
+            g, prev = carry
+            # prev = (fy, fx, cell) sampled at q + (d, dx_lo + t)
+            sel = (
+                (prev[0] == gi).astype(jnp.float32)
+                * (prev[1] == gj).astype(jnp.float32)
+                * prev[2]
+            )
+            nxt = pltpu.roll(prev, W - 1, axis=2)
+            return g + sel, nxt
+
+        g, _ = jax.lax.fori_loop(
+            0, n_x, x_body,
+            (jnp.zeros((R, W), jnp.float32), prev0),
+        )
+        return acc + g
+
+    o_ref[:] = jax.lax.fori_loop(
+        0, n_d, d_body, jnp.zeros((R, W), jnp.float32)
+    )
+
+
+@partial(jax.jit, static_argnames=("D", "interpret"))
+def scatter_count_pallas(
+    fy: jnp.ndarray,
+    fx: jnp.ndarray,
+    cell: jnp.ndarray,
+    D: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Histogram of integer landing positions with |displacement| < D:
+    ``out[b, y, x] = Σ_i cell[b, i] · [fy[b, i] == y] · [fx[b, i] == x]``
+    — exactly ``zeros.at[fy·W+fx].add(cell)`` (bit-exact: counts are
+    small-integer f32 sums) but with no serialized XLA scatter. fy/fx
+    int32 in [0, H) × [0, W); caller must guard displacements ≥ D (see
+    :func:`_stripe_bounds_int`'s ``ok``)."""
+    B, H, W = fy.shape
+    Dh = -(-D // 8) * 8
+    R = _pick_row_block(H, W, Dh, 3)
+    assert R is not None, (H, W, D)
+
+    bounds, _ = _stripe_bounds_int(fy, fx, H, W, R, D)
+    u = jnp.stack(
+        [fy.astype(jnp.float32), fx.astype(jnp.float32),
+         cell.astype(jnp.float32)],
+        axis=1,
+    )  # (B, 3, H, W)
+
+    return pl.pallas_call(
+        partial(_count_kernel, D=D, Dh=Dh, R=R, H=H, W=W),
+        out_shape=jax.ShapeDtypeStruct((B, H, W), jnp.float32),
+        grid=(B, H // R),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (B, nR, 4) bounds
+            pl.BlockSpec(memory_space=pltpu.HBM),   # stacked maps
+        ],
+        out_specs=pl.BlockSpec((None, R, W), lambda b, r: (b, r, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((3, R + 4 * Dh, W), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(bounds, u)

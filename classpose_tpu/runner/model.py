@@ -757,12 +757,10 @@ class ClassposeModel:
         from classpose_tpu.dynamics.masks import (
             densify_labels,
             fill_holes_and_remove_small_masks,
-            get_masks_from_positions,
+            get_masks_from_positions_batched,
         )
 
-        raw = np.asarray(
-            jax.vmap(get_masks_from_positions)(p, iscell)
-        )
+        raw = np.asarray(get_masks_from_positions_batched(p, iscell))
         dP_np = np.asarray(dP)
         y_class_np = np.asarray(y_class) if self.nclasses > 1 else None
 
@@ -916,7 +914,7 @@ class ClassposeModel:
                              force_scatter_qc=False):
         from classpose_tpu.dynamics.masks import (
             follow_flows_batched,
-            get_masks_from_positions,
+            get_masks_from_positions_batched,
             qc_filter_masks,
             qc_filter_masks_fused,
         )
@@ -1009,11 +1007,9 @@ class ClassposeModel:
             # trace-time branch on the displacement bound)
             class_pix, dP, iscell = jax.vmap(per_tile)(x)
             p = follow_flows_batched(dP, iscell, niter=niter)
-            raw, seed_lab = jax.vmap(
-                lambda pp, ii: get_masks_from_positions(
-                    pp, ii, return_seeds=True
-                )
-            )(p, iscell)
+            raw, seed_lab = get_masks_from_positions_batched(
+                p, iscell, return_seeds=True
+            )
             # seed ids are dense ranks, so the per-tile instance count is
             # just the max seed id — the host uses it to detect overflow
             # past the one-hot QC's K columns

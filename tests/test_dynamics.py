@@ -2,6 +2,7 @@
 images with known ground truth (disk-shaped "cells")."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -386,12 +387,17 @@ def test_follow_flows_pallas_sampler_matches(monkeypatch):
     dP = (5.0 * mu).astype(np.float32)[None]
     iscell = (gt > 0)[None]
 
+    # the env var is read at TRACE time — without clearing the jit cache
+    # the second call silently reuses the first mode's program and the
+    # test compares a program with itself
     monkeypatch.setenv("CLASSPOSE_PALLAS_SAMPLER", "off")
+    jax.clear_caches()
     p_ref = np.asarray(
         follow_flows_batched(jnp.asarray(dP), jnp.asarray(iscell),
                              niter=24)
     )
     monkeypatch.setenv("CLASSPOSE_PALLAS_SAMPLER", "interpret")
+    jax.clear_caches()
     p_pal = np.asarray(
         follow_flows_batched(jnp.asarray(dP), jnp.asarray(iscell),
                              niter=24)

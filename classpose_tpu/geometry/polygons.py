@@ -21,7 +21,14 @@ class Polygon:
 
     def __init__(self, exterior, holes=None):
         ext = np.asarray(exterior, np.float64)
-        if len(ext) >= 2 and np.allclose(ext[0], ext[-1]):
+        # same tolerance as np.allclose(ext[0], ext[-1]) without its
+        # per-call machinery (this constructor runs once per cell)
+        if len(ext) >= 2 and (
+            abs(ext[0, 0] - ext[-1, 0])
+            <= 1e-8 + 1e-5 * abs(ext[-1, 0])
+            and abs(ext[0, 1] - ext[-1, 1])
+            <= 1e-8 + 1e-5 * abs(ext[-1, 1])
+        ):
             ext = ext[:-1]
         self.exterior = ext
         self.holes = [
@@ -33,12 +40,24 @@ class Polygon:
         self._bounds = None
 
     # -------------------------------------------------------------- metrics
+    # cross terms are computed with slices (edges 0..n−2 plus the closing
+    # edge) rather than np.roll: the cell post-processor calls these for
+    # every instance of every tile, and roll's per-call overhead was the
+    # second-largest host cost after the validity check
+
+    @staticmethod
+    def _edge_cross(r: np.ndarray) -> tuple[np.ndarray, float]:
+        """Per-edge shoelace cross products x_k·y_{k+1} − x_{k+1}·y_k for
+        edges 0..n−2, plus the closing edge's term."""
+        x, y = r[:, 0], r[:, 1]
+        c = x[:-1] * y[1:] - x[1:] * y[:-1]
+        wrap = float(x[-1] * y[0] - x[0] * y[-1])
+        return c, wrap
+
     @staticmethod
     def _ring_area(r: np.ndarray) -> float:
-        x, y = r[:, 0], r[:, 1]
-        return 0.5 * float(
-            np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y)
-        )
+        c, wrap = Polygon._edge_cross(r)
+        return 0.5 * (float(c.sum()) + wrap)
 
     @property
     def area(self) -> float:
@@ -51,21 +70,26 @@ class Polygon:
     def length(self) -> float:
         total = 0.0
         for r in [self.exterior, *self.holes]:
-            d = np.diff(np.vstack([r, r[:1]]), axis=0)
+            d = r[1:] - r[:-1]
             total += float(np.sqrt((d**2).sum(axis=1)).sum())
+            last = r[0] - r[-1]
+            total += float(np.sqrt(last[0] ** 2 + last[1] ** 2))
         return total
 
     @property
     def centroid(self) -> tuple[float, float]:
         r = self.exterior
         x, y = r[:, 0], r[:, 1]
-        xn, yn = np.roll(x, -1), np.roll(y, -1)
-        cross = x * yn - xn * y
-        a = cross.sum() / 2.0
-        if abs(a) < 1e-12:
+        c, wrap = self._edge_cross(r)
+        a2 = float(c.sum()) + wrap  # 2·signed area
+        if abs(a2) < 2e-12:
             return float(x.mean()), float(y.mean())
-        cx = ((x + xn) * cross).sum() / (6.0 * a)
-        cy = ((y + yn) * cross).sum() / (6.0 * a)
+        cx = (float(np.dot(x[:-1] + x[1:], c)) + (x[-1] + x[0]) * wrap) / (
+            3.0 * a2
+        )
+        cy = (float(np.dot(y[:-1] + y[1:], c)) + (y[-1] + y[0]) * wrap) / (
+            3.0 * a2
+        )
         return float(cx), float(cy)
 
     @property
@@ -148,30 +172,51 @@ def _segments_intersect(p1, p2, p3, p4) -> bool:
 
 
 def _ring_self_intersects(ring: np.ndarray) -> bool:
+    """Vectorized all-pairs proper-intersection test (same semantics as
+    :func:`_segments_intersect` pair-by-pair: endpoint touching and
+    collinear overlap do not count). The o-matrices satisfy
+    o3 = o1ᵀ, o4 = o2ᵀ, so only two (n, n) orientation grids are built;
+    rows are processed in blocks to bound memory for huge ROI rings."""
     n = len(ring)
-    segs = [(ring[i], ring[(i + 1) % n]) for i in range(n)]
-    # bbox prefilter
-    bb = np.array(
-        [
-            [
-                min(a[0], b[0]), min(a[1], b[1]),
-                max(a[0], b[0]), max(a[1], b[1]),
-            ]
-            for a, b in segs
-        ]
+    if n < 4:
+        return False
+    p1 = ring
+    p2 = np.concatenate([ring[1:], ring[:1]])
+
+    ax, ay = p1[:, 0], p1[:, 1]
+    bx, by = p2[:, 0], p2[:, 1]
+
+    def osign(v):
+        s = np.sign(v)
+        s[np.abs(v) < 1e-12] = 0
+        return s.astype(np.int8)
+
+    # o1[i, j] = orient(p1_i, p2_i, p1_j); o2[i, j] = orient(·, ·, p2_j)
+    ux, uy = bx - ax, by - ay
+    block = 256 if n > 512 else n
+    o1 = np.empty((n, n), np.int8)
+    o2 = np.empty((n, n), np.int8)
+    for s in range(0, n, block):
+        e = min(s + block, n)
+        o1[s:e] = osign(
+            ux[s:e, None] * (ay[None, :] - ay[s:e, None])
+            - uy[s:e, None] * (ax[None, :] - ax[s:e, None])
+        )
+        o2[s:e] = osign(
+            ux[s:e, None] * (by[None, :] - ay[s:e, None])
+            - uy[s:e, None] * (bx[None, :] - ax[s:e, None])
+        )
+    inter = (
+        (o1 != o2)
+        & (o1.T != o2.T)
+        & (o1 != 0) & (o2 != 0) & (o1.T != 0) & (o2.T != 0)
     )
-    for i in range(n):
-        for j in range(i + 2, n):
-            if i == 0 and j == n - 1:
-                continue  # adjacent via wraparound
-            if (
-                bb[i, 2] < bb[j, 0] or bb[j, 2] < bb[i, 0]
-                or bb[i, 3] < bb[j, 1] or bb[j, 3] < bb[i, 1]
-            ):
-                continue
-            if _segments_intersect(*segs[i], *segs[j]):
-                return True
-    return False
+    # exclude self and adjacent pairs (incl. the 0 ↔ n−1 wraparound)
+    idx = np.arange(n)
+    inter[idx, idx] = False
+    inter[idx, (idx + 1) % n] = False
+    inter[(idx + 1) % n, idx] = False
+    return bool(inter.any())
 
 
 # --------------------------------------------------------------------------

@@ -248,8 +248,24 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        import os
+
+        # CLASSPOSE_VIT_LN_BARRIER=1 pins a fusion boundary between each
+        # residual sum and the following LayerNorm's stat reduction: XLA
+        # otherwise fuses the f32 mean/var epilogue into the producing
+        # matmul, which the r3 device trace showed running at ~45% of
+        # the plain matmul's rate (10.5 vs 4.65 ms at production shape).
+        # Numerically the barrier is an identity. Perf-only knob, default
+        # off until measured on hardware.
+        bar = (
+            jax.lax.optimization_barrier
+            if os.environ.get("CLASSPOSE_VIT_LN_BARRIER") == "1"
+            else (lambda v: v)
+        )
         shortcut = x
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(
+            bar(x)
+        )
         y = Attention(
             self.num_heads,
             input_size=self.input_size,
@@ -258,7 +274,9 @@ class Block(nn.Module):
             name="attn",
         )(y)
         x = shortcut + y
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(
+            bar(x)
+        )
         y = MLPBlock(int(x.shape[-1] * self.mlp_ratio), self.dtype, name="mlp")(y)
         return x + y
 

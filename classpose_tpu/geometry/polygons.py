@@ -7,7 +7,44 @@ Replaces the shapely usage of the reference pipeline
 
 from __future__ import annotations
 
+import ctypes
+
 import numpy as np
+
+from classpose_tpu.native import load_geomfast
+
+
+def _ring_metrics(r: np.ndarray) -> tuple[float, float, float, float]:
+    """(signed_area, cx, cy, perimeter) of one ring — native C++ core
+    when available (this runs once per detected cell), numpy fallback
+    with identical semantics."""
+    n = len(r)
+    lib = load_geomfast()
+    if lib is not None and n >= 1:
+        rc = np.ascontiguousarray(r, np.float64)
+        out = np.empty(4, np.float64)
+        lib.ring_metrics(
+            rc.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        return float(out[0]), float(out[1]), float(out[2]), float(out[3])
+    c, wrap = Polygon._edge_cross(r)
+    a2 = float(c.sum()) + wrap
+    x, y = r[:, 0], r[:, 1]
+    if abs(a2) < 2e-12:
+        cx, cy = float(x.mean()), float(y.mean())
+    else:
+        cx = (float(np.dot(x[:-1] + x[1:], c)) + (x[-1] + x[0]) * wrap) / (
+            3.0 * a2
+        )
+        cy = (float(np.dot(y[:-1] + y[1:], c)) + (y[-1] + y[0]) * wrap) / (
+            3.0 * a2
+        )
+    d = r[1:] - r[:-1]
+    per = float(np.sqrt((d**2).sum(axis=1)).sum())
+    last = r[0] - r[-1]
+    per += float(np.sqrt(last[0] ** 2 + last[1] ** 2))
+    return 0.5 * a2, cx, cy, per
 
 
 class Polygon:
@@ -17,7 +54,7 @@ class Polygon:
     (a closing vertex equal to the first is dropped internally).
     """
 
-    __slots__ = ("exterior", "holes", "_bounds")
+    __slots__ = ("exterior", "holes", "_bounds", "_rm")
 
     def __init__(self, exterior, holes=None):
         ext = np.asarray(exterior, np.float64)
@@ -38,6 +75,14 @@ class Polygon:
             for h in (holes or [])
         ]
         self._bounds = None
+        self._rm = None
+
+    @property
+    def _ext_metrics(self) -> tuple[float, float, float, float]:
+        """Cached (signed_area, cx, cy, perimeter) of the exterior."""
+        if self._rm is None:
+            self._rm = _ring_metrics(self.exterior)
+        return self._rm
 
     # -------------------------------------------------------------- metrics
     # cross terms are computed with slices (edges 0..n−2 plus the closing
@@ -56,41 +101,26 @@ class Polygon:
 
     @staticmethod
     def _ring_area(r: np.ndarray) -> float:
-        c, wrap = Polygon._edge_cross(r)
-        return 0.5 * (float(c.sum()) + wrap)
+        return _ring_metrics(r)[0]
 
     @property
     def area(self) -> float:
-        a = abs(self._ring_area(self.exterior))
+        a = abs(self._ext_metrics[0])
         for h in self.holes:
-            a -= abs(self._ring_area(h))
+            a -= abs(_ring_metrics(h)[0])
         return a
 
     @property
     def length(self) -> float:
-        total = 0.0
-        for r in [self.exterior, *self.holes]:
-            d = r[1:] - r[:-1]
-            total += float(np.sqrt((d**2).sum(axis=1)).sum())
-            last = r[0] - r[-1]
-            total += float(np.sqrt(last[0] ** 2 + last[1] ** 2))
+        total = self._ext_metrics[3]
+        for h in self.holes:
+            total += _ring_metrics(h)[3]
         return total
 
     @property
     def centroid(self) -> tuple[float, float]:
-        r = self.exterior
-        x, y = r[:, 0], r[:, 1]
-        c, wrap = self._edge_cross(r)
-        a2 = float(c.sum()) + wrap  # 2·signed area
-        if abs(a2) < 2e-12:
-            return float(x.mean()), float(y.mean())
-        cx = (float(np.dot(x[:-1] + x[1:], c)) + (x[-1] + x[0]) * wrap) / (
-            3.0 * a2
-        )
-        cy = (float(np.dot(y[:-1] + y[1:], c)) + (y[-1] + y[0]) * wrap) / (
-            3.0 * a2
-        )
-        return float(cx), float(cy)
+        m = self._ext_metrics
+        return m[1], m[2]
 
     @property
     def bounds(self) -> tuple[float, float, float, float]:
@@ -130,7 +160,7 @@ class Polygon:
         r = self.exterior
         if len(r) < 3:
             return False
-        if abs(self._ring_area(r)) < 1e-12:
+        if abs(self._ext_metrics[0]) < 1e-12:
             return False
         return not _ring_self_intersects(r)
 
@@ -142,6 +172,17 @@ def _point_in_ring(ring: np.ndarray, x: float, y: float) -> bool:
 def _points_in_ring(ring: np.ndarray, pts: np.ndarray) -> np.ndarray:
     """Ray casting, vectorized over points (edges looped — rings are short
     relative to point counts in the WSI filters)."""
+    lib = load_geomfast()
+    if lib is not None and len(ring) and len(pts):
+        rc = np.ascontiguousarray(ring, np.float64)
+        pc = np.ascontiguousarray(pts, np.float64)
+        out = np.empty(len(pts), np.uint8)
+        lib.points_in_ring(
+            rc.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(ring),
+            pc.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(pts),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        )
+        return out.astype(bool)
     x, y = pts[:, 0], pts[:, 1]
     inside = np.zeros(len(pts), bool)
     x1, y1 = ring[:, 0], ring[:, 1]
@@ -180,6 +221,14 @@ def _ring_self_intersects(ring: np.ndarray) -> bool:
     n = len(ring)
     if n < 4:
         return False
+    lib = load_geomfast()
+    if lib is not None:
+        rc = np.ascontiguousarray(ring, np.float64)
+        return not bool(
+            lib.ring_simple(
+                rc.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n
+            )
+        )
     p1 = ring
     p2 = np.concatenate([ring[1:], ring[:1]])
 

@@ -1,0 +1,119 @@
+// Native geometry core for the host post-processing hot path.
+//
+// The WSI pipeline extracts and validates one polygon per detected cell
+// (reference PostProcessor, predict_wsi.py:509-656, via shapely/GEOS —
+// a C library); at production cell densities the pure-numpy equivalents
+// in geometry/polygons.py spend most of their time in per-call numpy
+// machinery on ~40-point rings. This file provides the same primitives
+// as plain C++ loops behind an extern "C" ABI, loaded with ctypes
+// (no Python.h / numpy-API coupling); geometry/polygons.py falls back
+// to the numpy implementations when the shared object is unavailable.
+//
+// Semantics are kept identical to the numpy versions:
+//   - ring_simple: proper-intersection test with the 1e-12 orientation
+//     epsilon; endpoint touching and collinear overlap do not count;
+//     adjacent segments (incl. the 0 <-> n-1 wraparound) are skipped.
+//   - ring_metrics: shoelace signed area, area-weighted centroid with
+//     the |2A| < 2e-12 vertex-mean fallback, perimeter.
+//   - points_in_ring: the same ray-casting parity rule
+//     ((yi > y) != (yj > y), x < xcross) as _points_in_ring.
+//
+// Build: g++ -O2 -shared -fPIC geomfast.cpp -o _geomfast.so
+// (done on demand by classpose_tpu/native/__init__.py).
+
+#include <cmath>
+#include <cstdint>
+
+namespace {
+
+inline int orient(double ax, double ay, double bx, double by, double cx,
+                  double cy) {
+    double v = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax);
+    if (v > 1e-12) return 1;
+    if (v < -1e-12) return -1;
+    return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// 1 if the ring has no proper self-intersection, 0 otherwise.
+// xy: n points, interleaved x0,y0,x1,y1,...
+int ring_simple(const double* xy, long n) {
+    if (n < 4) return 1;
+    for (long i = 0; i < n; ++i) {
+        long i2 = (i + 1 == n) ? 0 : i + 1;
+        double ax = xy[2 * i], ay = xy[2 * i + 1];
+        double bx = xy[2 * i2], by = xy[2 * i2 + 1];
+        double lox = ax < bx ? ax : bx, hix = ax < bx ? bx : ax;
+        double loy = ay < by ? ay : by, hiy = ay < by ? by : ay;
+        for (long j = i + 2; j < n; ++j) {
+            if (i == 0 && j == n - 1) continue;  // wraparound adjacency
+            long j2 = (j + 1 == n) ? 0 : j + 1;
+            double cx = xy[2 * j], cy = xy[2 * j + 1];
+            double dx = xy[2 * j2], dy = xy[2 * j2 + 1];
+            // bbox reject
+            if ((cx < lox && dx < lox) || (cx > hix && dx > hix) ||
+                (cy < loy && dy < loy) || (cy > hiy && dy > hiy))
+                continue;
+            int o1 = orient(ax, ay, bx, by, cx, cy);
+            int o2 = orient(ax, ay, bx, by, dx, dy);
+            if (o1 == o2 || o1 == 0 || o2 == 0) continue;
+            int o3 = orient(cx, cy, dx, dy, ax, ay);
+            int o4 = orient(cx, cy, dx, dy, bx, by);
+            if (o3 != o4 && o3 != 0 && o4 != 0) return 0;
+        }
+    }
+    return 1;
+}
+
+// out[0] = signed area, out[1] = cx, out[2] = cy, out[3] = perimeter
+void ring_metrics(const double* xy, long n, double* out) {
+    double a2 = 0.0, cx6 = 0.0, cy6 = 0.0, per = 0.0;
+    double sx = 0.0, sy = 0.0;
+    for (long i = 0; i < n; ++i) {
+        long i2 = (i + 1 == n) ? 0 : i + 1;
+        double x0 = xy[2 * i], y0 = xy[2 * i + 1];
+        double x1 = xy[2 * i2], y1 = xy[2 * i2 + 1];
+        double c = x0 * y1 - x1 * y0;
+        a2 += c;
+        cx6 += (x0 + x1) * c;
+        cy6 += (y0 + y1) * c;
+        per += std::sqrt((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0));
+        sx += x0;
+        sy += y0;
+    }
+    out[0] = 0.5 * a2;
+    if (std::fabs(a2) < 2e-12) {
+        out[1] = sx / (double)n;
+        out[2] = sy / (double)n;
+    } else {
+        out[1] = cx6 / (3.0 * a2);
+        out[2] = cy6 / (3.0 * a2);
+    }
+    out[3] = per;
+}
+
+// Ray-cast containment of m points against an n-point ring.
+// out[k] = 1 if pts[k] is inside. Matches _points_in_ring's parity rule.
+void points_in_ring(const double* ring, long n, const double* pts, long m,
+                    uint8_t* out) {
+    for (long k = 0; k < m; ++k) out[k] = 0;
+    for (long i = 0; i < n; ++i) {
+        long i2 = (i + 1 == n) ? 0 : i + 1;
+        double xi = ring[2 * i], yi = ring[2 * i + 1];
+        double xj = ring[2 * i2], yj = ring[2 * i2 + 1];
+        if (yi == yj) continue;  // (yi>y)!=(yj>y) is impossible
+        double inv = 1.0 / (yj - yi);
+        for (long k = 0; k < m; ++k) {
+            double x = pts[2 * k], y = pts[2 * k + 1];
+            if ((yi > y) != (yj > y)) {
+                double xcross = xi + (y - yi) * inv * (xj - xi);
+                if (x < xcross) out[k] ^= 1;
+            }
+        }
+    }
+}
+
+}  // extern "C"

@@ -318,3 +318,49 @@ def test_per_roi_artefact_corrected_densities():
     dens0 = {r["region"]: r["density"] for _, r in uncorrected.iterrows()}
     assert dens0["B"] == dens["B"]  # only the overlapped class changed
     assert dens0["A"] < dens["A"]
+
+
+def test_native_geomfast_matches_numpy():
+    """The C++ geometry core (native/geomfast.cpp) must agree with the
+    numpy fallbacks on metrics, validity, and containment."""
+    import classpose_tpu.native as native
+    from classpose_tpu.geometry import polygons as P
+
+    lib = native.load_geomfast()
+    if lib is None:
+        import pytest
+
+        pytest.skip("native geometry core unavailable (no toolchain)")
+
+    rng = np.random.default_rng(0)
+    rings = []
+    # random stars (simple) and a known self-intersecting bowtie
+    for k in range(8):
+        n = int(rng.integers(5, 60))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        rad = rng.uniform(5, 20, n)
+        rings.append(
+            np.stack([50 + rad * np.cos(ang), 50 + rad * np.sin(ang)], 1)
+        )
+    rings.append(
+        np.array([[0.0, 0.0], [10.0, 10.0], [10.0, 0.0], [0.0, 10.0]])
+    )
+    pts = rng.uniform(20, 80, size=(500, 2))
+
+    for r in rings:
+        m_nat = P._ring_metrics(r)
+        # force the numpy path
+        native._lib = None
+        try:
+            m_np = P._ring_metrics(r)
+            simple_np = not P._ring_self_intersects(r)
+            in_np = P._points_in_ring(r, pts)
+        finally:
+            native._lib = lib
+        simple_nat = not P._ring_self_intersects(r)
+        in_nat = P._points_in_ring(r, pts)
+        np.testing.assert_allclose(m_nat, m_np, rtol=1e-9, atol=1e-9)
+        assert simple_nat == simple_np
+        np.testing.assert_array_equal(in_nat, in_np)
+    # the bowtie must be flagged as self-intersecting by both
+    assert P._ring_self_intersects(rings[-1])

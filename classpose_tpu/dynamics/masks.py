@@ -356,10 +356,16 @@ def get_masks_from_positions_batched(
         shift_sample_pallas,
     )
 
+    import os as _os
+
     mode = _pallas_sampler_mode()
     D = GET_MASKS_PALLAS_BOUND
+    # CLASSPOSE_GM_PALLAS=0 disables just the get_masks kernels (leaving
+    # the proven flow-integration sampler on) — an independent
+    # kill-switch for the newest kernels
     pallas_ok = (
         mode != "off"
+        and _os.environ.get("CLASSPOSE_GM_PALLAS") != "0"
         and sampler_supported(H, W, D, 3)
         and sampler_supported(H, W, D, 1)
     )

@@ -2,6 +2,7 @@
 per-tile eval, and the pipeline's tile_batch path the same cells."""
 
 import numpy as np
+import jax
 import pytest
 
 from classpose_tpu.io.array_reader import synthetic_wsi
@@ -106,3 +107,34 @@ def test_pipeline_tile_batch_matches(_array_reader, tmp_path):
     r2 = main(_args(tmp_path / "o2", 3))  # 6 tiles → 2 full batches
     assert r2["n_tiles"] == r1["n_tiles"]
     assert r2["n_cells"] == r1["n_cells"]
+
+
+def test_eval_batch_pallas_eligible_geometry(monkeypatch):
+    """Trace the FULL fused program at a geometry where the get_masks
+    Pallas kernels are eligible (256², D=64 halo fits) with the
+    interpret-mode kernels — the other runner tests use sizes where the
+    pallas path is statically disabled, so without this the production
+    cond+kernel graph would never be traced in CI."""
+    from classpose_tpu.ops.sample_pallas import sampler_supported
+
+    assert sampler_supported(256, 256, 64, 3)
+    assert sampler_supported(256, 256, 64, 1)
+
+    monkeypatch.setenv("CLASSPOSE_PALLAS_SAMPLER", "interpret")
+    monkeypatch.setenv("CLASSPOSE_QC_ONEHOT", "1")
+    jax.clear_caches()
+    from classpose_tpu.nn import ClassTransformerConfig
+    from classpose_tpu.runner import ClassposeModel
+
+    cfg = ClassTransformerConfig(
+        embed_dim=64, depth=2, num_heads=2, neck_dim=32,
+        n_cell_classes=4, dtype="float32",
+    )
+    model = ClassposeModel(cfg=cfg, precision="fp32")
+    rng = np.random.default_rng(0)
+    tiles = rng.uniform(0, 255, size=(2, 256, 256, 3)).astype(np.uint8)
+    res = model.eval_batch(tiles, batch_size=8, niter=40)
+    assert len(res) == 2
+    for m, cm in res:
+        assert m.shape == (256, 256) and m.dtype == np.int32
+    jax.clear_caches()

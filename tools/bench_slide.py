@@ -56,6 +56,11 @@ def main():
     ap.add_argument("--batch_size", type=int, default=32)
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model + fp32 (plumbing smoke test)")
+    ap.add_argument("--checkpoint", default=None,
+                    help="model .npz — use tools/make_bench_ckpt.py's "
+                    "structured checkpoint for an honest full-load run "
+                    "(~1k instances/tile, QC horizon 64, real host "
+                    "polygon/dedup work)")
     args = ap.parse_args()
 
     out = Path(args.out)
@@ -77,6 +82,10 @@ def main():
                 neck_dim=16, bsize=64,
             ),
             precision="fp32",
+        )
+    elif args.checkpoint:
+        model = ClassposeModel(
+            pretrained_model=args.checkpoint, precision="bf16"
         )
     else:
         model = ClassposeModel(

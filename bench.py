@@ -34,8 +34,43 @@ def main():
 
     enable_compilation_cache()
 
-    cfg = ClassTransformerConfig(n_cell_classes=6, dtype="bfloat16")
-    model = ClassposeModel(cfg=cfg, precision="bf16")
+    # structured synthetic checkpoint (tools/make_bench_ckpt.py): the
+    # production net emits a designed field of ~1k cells/tile, so the
+    # dynamics/QC stages run at their real data-dependent cost (QC
+    # diffusion horizon 64, non-degenerate sampler bounds) instead of a
+    # random-init's zero-instance floor. Built once and cached; falls
+    # back to random init if construction fails.
+    import os
+    from pathlib import Path
+
+    ckpt = Path(
+        os.environ.get(
+            "CLASSPOSE_BENCH_CKPT",
+            str(Path.home() / ".cache/classpose_tpu/bench_ckpt.npz"),
+        )
+    )
+    try:
+        if not ckpt.exists():
+            import sys
+
+            sys.path.insert(0, str(Path(__file__).parent / "tools"))
+            from make_bench_ckpt import build_params
+
+            from classpose_tpu.nn.convert import save_params
+
+            bcfg = ClassTransformerConfig(
+                n_cell_classes=6, dtype="float32"
+            )
+            ckpt.parent.mkdir(parents=True, exist_ok=True)
+            save_params(build_params(bcfg), str(ckpt), bcfg)
+        model = ClassposeModel(
+            pretrained_model=str(ckpt), precision="bf16"
+        )
+    except Exception as exc:  # keep the bench runnable no matter what
+        print(f"# structured ckpt unavailable ({exc}); random init",
+              flush=True)
+        cfg = ClassTransformerConfig(n_cell_classes=6, dtype="bfloat16")
+        model = ClassposeModel(cfg=cfg, precision="bf16")
 
     rng = np.random.default_rng(0)
     TILE_BATCH = 4  # pipeline --tile_batch 4: one device program per batch

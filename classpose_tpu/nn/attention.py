@@ -117,7 +117,7 @@ def flash_attention_relpos(
 
 
 def _attn_kernel_blc(q_ref, k_ref, v_ref, rel_ref, o_ref, *, scale, hd,
-                     grid_h, grid_w):
+                     grid_h, grid_w, fused_bias=False):
     """Attention for a PAIR of heads whose q/k/v live side by side in one
     128-lane block sliced straight out of the (B, L, 3C) qkv tensor — the
     layout the qkv Dense naturally produces (a free reshape of
@@ -126,7 +126,21 @@ def _attn_kernel_blc(q_ref, k_ref, v_ref, rel_ref, o_ref, *, scale, hd,
     (ROADMAP r2 profile); here the BlockSpec index maps do the slicing in
     the DMA and no relayout ever materializes in HBM. Mosaic requires
     128-divisible last block dims, hence the head pairing (2·hd = 128).
-    Per-head math is identical to :func:`_attn_kernel`."""
+    Per-head math is identical to :func:`_attn_kernel`.
+
+    ``fused_bias`` (CLASSPOSE_ATTN_V2=1) restructures the pre-softmax
+    stage into ONE full-depth matmul: s = [q·scale | rh | rw] @
+    [k | onehot(j//W) | onehot(j%W)]ᵀ. The plain QK dot contracts only
+    hd=64 of the MXU's 128-deep systolic array (50% utilization); padding
+    the contraction with the bias terms brings it to 128 at zero extra
+    MXU time and deletes the separate expand dot (K=32), the
+    ``pltpu.repeat`` tiling, and both L×L VPU bias adds. hd=64 makes
+    scale=2⁻³ an exact power of two, so pre-scaling q in bf16 is a pure
+    exponent shift and the qk part of the accumulation is bit-identical
+    to the post-scaled fp32 dot; the bias columns are 0/1 selections.
+    It also defers softmax normalization past the AV matmul: dividing
+    the (L, hd) output by the row sums replaces dividing the (L, L)
+    probability matrix — L/hd = 16x less VPU division work."""
     L = q_ref.shape[0]
     pair = q_ref.shape[1] // hd
     rel_step = rel_ref.shape[1] // pair  # = grid_h + grid_w per head
@@ -136,6 +150,36 @@ def _attn_kernel_blc(q_ref, k_ref, v_ref, rel_ref, o_ref, *, scale, hd,
         v = v_ref[:, h * hd:(h + 1) * hd]
         rh = rel_ref[:, h * rel_step:h * rel_step + grid_h]  # (L, H)
         rw = rel_ref[:, h * rel_step + grid_h:(h + 1) * rel_step]  # (L, W)
+
+        if fused_bias:
+            # key j ↔ (h_j, w_j) = (j // W, j % W); the one-hot selector
+            # columns make the single dot accumulate
+            # scale·q_i·k_j + rh[i, h_j] + rw[i, w_j] in one fp32 chain
+            jj_h = jax.lax.broadcasted_iota(jnp.int32, (L, grid_h), 0) \
+                // grid_w
+            th = jax.lax.broadcasted_iota(jnp.int32, (L, grid_h), 1)
+            eh = (jj_h == th).astype(k.dtype)  # (L, H)
+            jj_w = jax.lax.broadcasted_iota(jnp.int32, (L, grid_w), 0) \
+                % grid_w
+            tw = jax.lax.broadcasted_iota(jnp.int32, (L, grid_w), 1)
+            ew = (jj_w == tw).astype(k.dtype)  # (L, W)
+            qx = jnp.concatenate(
+                [(q.astype(jnp.float32) * scale).astype(q.dtype), rh, rw],
+                axis=1,
+            )  # (L, hd+H+W)
+            kx = jnp.concatenate([k, eh, ew], axis=1)
+            s = jax.lax.dot_general(
+                qx, kx,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (L, L)
+            m = jnp.max(s, axis=1, keepdims=True)
+            p32 = jnp.exp(s - m)
+            denom = jnp.sum(p32, axis=1, keepdims=True)
+            o = jax.lax.dot(p32.astype(v.dtype), v,
+                            preferred_element_type=jnp.float32)
+            o_ref[:, h * hd:(h + 1) * hd] = (o / denom).astype(o_ref.dtype)
+            continue
 
         s = jax.lax.dot_general(
             q, k,
@@ -166,8 +210,6 @@ def _attn_kernel_blc(q_ref, k_ref, v_ref, rel_ref, o_ref, *, scale, hd,
         o_ref[:, h * hd:(h + 1) * hd] = o.astype(o_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("scale", "grid_hw", "interpret",
-                                   "num_heads"))
 def flash_attention_relpos_blc(
     qkv: jnp.ndarray,
     rel_h: jnp.ndarray,
@@ -176,6 +218,32 @@ def flash_attention_relpos_blc(
     grid_hw: tuple[int, int] = (32, 32),
     interpret: bool = False,
     num_heads: int | None = None,
+    fused_bias: bool | None = None,
+) -> jnp.ndarray:
+    """Env-resolving wrapper: ``fused_bias=None`` reads CLASSPOSE_ATTN_V2
+    (default off until measured on hardware); A/B harnesses pass an
+    explicit bool to interleave both variants in one process."""
+    if fused_bias is None:
+        import os
+
+        fused_bias = os.environ.get("CLASSPOSE_ATTN_V2") == "1"
+    return _flash_attention_relpos_blc(
+        qkv, rel_h, rel_w, scale, grid_hw=grid_hw, interpret=interpret,
+        num_heads=num_heads, fused_bias=bool(fused_bias),
+    )
+
+
+@partial(jax.jit, static_argnames=("scale", "grid_hw", "interpret",
+                                   "num_heads", "fused_bias"))
+def _flash_attention_relpos_blc(
+    qkv: jnp.ndarray,
+    rel_h: jnp.ndarray,
+    rel_w: jnp.ndarray,
+    scale: float,
+    grid_hw: tuple[int, int] = (32, 32),
+    interpret: bool = False,
+    num_heads: int | None = None,
+    fused_bias: bool = False,
 ) -> jnp.ndarray:
     """Attention in the token-major layout: qkv (B, L, 3·n·hd) exactly as
     the qkv projection emits it (pass ``num_heads``; a 5-D
@@ -212,7 +280,8 @@ def flash_attention_relpos_blc(
     rw_blk = pair * (H + W)
 
     out = pl.pallas_call(
-        partial(_attn_kernel_blc, scale=scale, hd=hd, grid_h=H, grid_w=W),
+        partial(_attn_kernel_blc, scale=scale, hd=hd, grid_h=H, grid_w=W,
+                fused_bias=fused_bias),
         out_shape=jax.ShapeDtypeStruct((B, L, n * hd), qkv.dtype),
         grid=(B, np_blk),
         in_specs=[

@@ -166,6 +166,38 @@ def main():
             float(jnp.sum(f()[0, 0, :8].astype(jnp.float32)))
         print(f"{name}: {device_ms(d):7.2f} ms device", flush=True)
 
+    # production kernel A/B: baseline vs the v2 fused-bias path
+    # ([q·s|rh|rw]@[k|Eh|Ew]ᵀ single full-depth dot + deferred softmax
+    # normalization, CLASSPOSE_ATTN_V2)
+    from classpose_tpu.nn.attention import flash_attention_relpos_blc
+
+    rel_h = jnp.asarray(
+        rng.normal(size=(B, L, n, H)).astype(np.float32) * 0.3,
+        jnp.bfloat16)
+    rel_w = jnp.asarray(
+        rng.normal(size=(B, L, n, W)).astype(np.float32) * 0.3,
+        jnp.bfloat16)
+    prod = {
+        "prod_base": lambda: flash_attention_relpos_blc(
+            qkv2, rel_h, rel_w, scale, grid_hw=(H, W), num_heads=n,
+            fused_bias=False),
+        "prod_v2_fused": lambda: flash_attention_relpos_blc(
+            qkv2, rel_h, rel_w, scale, grid_hw=(H, W), num_heads=n,
+            fused_bias=True),
+    }
+    ref = None
+    for name, f in prod.items():
+        o = np.asarray(f()[0, :4, 0, :4], np.float32)
+        if ref is None:
+            ref = o
+        print(f"{name}: max|delta| vs prod_base = "
+              f"{np.abs(o - ref).max():.3e}", flush=True)
+        d = f"/tmp/attn_trace_{name}"
+        os.makedirs(d, exist_ok=True)
+        with jax.profiler.trace(d):
+            float(jnp.sum(f()[0, 0, 0, :8].astype(jnp.float32)))
+        print(f"{name}: {device_ms(d):7.2f} ms device", flush=True)
+
 
 if __name__ == "__main__":
     main()

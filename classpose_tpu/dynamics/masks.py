@@ -25,6 +25,7 @@ Pipeline (matching cellpose semantics):
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -239,11 +240,26 @@ def follow_flows_batched(
     it binds only when |dP| > 5·STEP_CAP = 10, double the magnitude of
     trained cellpose flows (targets are 5·unit vectors), so real networks
     never hit it; it also guards the integration against garbage flows.
+    Set CLASSPOSE_DEBUG_STEP_CAP=1 to emit a device-side diagnostic when
+    the clamp actually binds (untrained/corrupted models) so divergence
+    from reference outputs is visible rather than silent.
 
     Args: dP (B, 2, H, W); iscell (B, H, W). Returns (B, 2, H, W).
     """
     B, _, H, W = dP.shape
     u = (dP * iscell[:, None].astype(dP.dtype) / 5.0).astype(jnp.float32)
+    if os.environ.get("CLASSPOSE_DEBUG_STEP_CAP") == "1":
+        mx = jnp.max(jnp.abs(u))
+        jax.lax.cond(
+            mx > STEP_CAP,
+            lambda m: jax.debug.print(
+                "follow_flows: step clamp binding (max |dP|/5 = {m} px > "
+                "STEP_CAP=2.0) — integration deviates from the reference "
+                "Euler contract for this input", m=m,
+            ),
+            lambda m: None,
+            mx,
+        )
     u = jnp.clip(u, -STEP_CAP, STEP_CAP)
     gy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)[None]
     gx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)[None]

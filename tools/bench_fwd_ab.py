@@ -1,7 +1,8 @@
 """TPU A/B of ViT forward variants via env knobs.
 
-Runs the bare 100x256^2 bf16 forward under each setting of
-CLASSPOSE_VIT_LN_BARRIER (jax caches cleared between), interleaved wall
+Runs the bare 100x256^2 bf16 forward under each combination of
+CLASSPOSE_VIT_LN_BARRIER x CLASSPOSE_ATTN_V2 (jax caches cleared between
+compiles so each variant traces under its own env), interleaved wall
 medians with readback. Use tools/profile_fwd.py for the per-op trace of
 the winner."""
 
@@ -11,6 +12,16 @@ import time
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+KNOBS = ("CLASSPOSE_VIT_LN_BARRIER", "CLASSPOSE_ATTN_V2")
+VARIANTS = [
+    ("base", {"CLASSPOSE_VIT_LN_BARRIER": "0", "CLASSPOSE_ATTN_V2": "0"}),
+    ("ln_barrier", {"CLASSPOSE_VIT_LN_BARRIER": "1",
+                    "CLASSPOSE_ATTN_V2": "0"}),
+    ("attn_v2", {"CLASSPOSE_VIT_LN_BARRIER": "0",
+                 "CLASSPOSE_ATTN_V2": "1"}),
+    ("both", {"CLASSPOSE_VIT_LN_BARRIER": "1", "CLASSPOSE_ATTN_V2": "1"}),
+]
 
 
 def main():
@@ -28,9 +39,13 @@ def main():
         jnp.bfloat16,
     )
 
+    def set_env(env):
+        for k in KNOBS:
+            os.environ[k] = env[k]
+
     fns = {}
-    for mode in ("0", "1"):
-        os.environ["CLASSPOSE_VIT_LN_BARRIER"] = mode
+    for name, env in VARIANTS:
+        set_env(env)
         jax.clear_caches()
 
         @jax.jit
@@ -46,23 +61,25 @@ def main():
             )
 
         run()  # compile under this env
-        fns[mode] = run
-    del os.environ["CLASSPOSE_VIT_LN_BARRIER"]
+        fns[name] = run
 
-    # re-warm: the clear_caches for the second variant evicted the first
-    # one's in-memory executable; this reloads it from the persistent
-    # compile cache before any timed call
-    for f in fns.values():
-        f()
+    # re-warm: each clear_caches evicted the previous variant's in-memory
+    # executable; reload from the persistent compile cache BEFORE timing,
+    # with the matching env set in case of a retrace
+    for name, env in VARIANTS:
+        set_env(env)
+        fns[name]()
+    for k in KNOBS:
+        os.environ.pop(k, None)
 
     times = {k: [] for k in fns}
     for _ in range(7):
-        for mode, f in fns.items():
+        for name, f in fns.items():
             t0 = time.time()
             f()
-            times[mode].append(time.time() - t0)
-    for mode, ts in times.items():
-        print(f"ln_barrier={mode}: {np.median(ts) * 1e3:7.0f} ms wall")
+            times[name].append(time.time() - t0)
+    for name, ts in times.items():
+        print(f"{name}: {np.median(ts) * 1e3:7.0f} ms wall")
 
 
 if __name__ == "__main__":

@@ -23,8 +23,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_training(tmp_path):
+def _spawn_two_ranks(tmp_path, extra_env=None):
     port = _free_port()
     procs = []
     for rank in range(2):
@@ -37,6 +36,7 @@ def test_two_process_training(tmp_path):
             JAX_PLATFORMS="cpu",
             XLA_FLAGS="--xla_force_host_platform_device_count=1",
         )
+        env.update(extra_env or {})
         procs.append(
             subprocess.Popen(
                 [sys.executable, str(WORKER), str(tmp_path)],
@@ -62,6 +62,12 @@ def test_two_process_training(tmp_path):
         assert line, out[-2000:]
         r = json.loads(line[-1][len("RESULT "):])
         results[r["rank"]] = r
+    return results
+
+
+@pytest.mark.slow
+def test_two_process_training(tmp_path):
+    results = _spawn_two_ranks(tmp_path)
 
     # identical global loss logging on both ranks (train loss is the
     # global-batch mean; validation sums are all-reduced)
@@ -91,4 +97,24 @@ def test_two_process_training(tmp_path):
     assert states[0] != states[1]
     # rank-0-only write: the multiprocess state format exists exactly once
     assert (model_dir / "checkpoint_last.train" / "state.pkl").exists()
+    assert (model_dir / "mp.npz").exists()
+
+
+@pytest.mark.slow
+def test_two_process_two_local_devices(tmp_path):
+    """2 processes x 2 local CPU devices = a 4-device global mesh (one
+    v5e host per process in miniature): the gradient psum must span both
+    the intra-process devices and the cross-process boundary, and the
+    logged global losses must be identical on both ranks."""
+    results = _spawn_two_ranks(
+        tmp_path,
+        extra_env={
+            "CLASSPOSE_TEST_LOCAL_DEVICES": "2",
+            "CLASSPOSE_TEST_LIGHT": "1",
+        },
+    )
+    assert results[0]["train_losses"] == results[1]["train_losses"]
+    assert results[0]["test_losses"] == results[1]["test_losses"]
+    assert all(v > 0 for v in results[0]["train_losses"])
+    model_dir = tmp_path / "mp"
     assert (model_dir / "mp.npz").exists()

@@ -75,6 +75,11 @@ def load_geomfast():
             ctypes.POINTER(ctypes.c_double), ctypes.c_long,
             ctypes.POINTER(ctypes.c_ubyte),
         ]
+        lib.fill_holes_relabel.restype = ctypes.c_long
+        lib.fill_holes_relabel.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, ctypes.POINTER(ctypes.c_int32),
+        ]
         _lib = lib
     except OSError as exc:  # dlopen failure
         logger.debug("geomfast load failed: %s", exc)

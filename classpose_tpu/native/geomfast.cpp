@@ -23,6 +23,7 @@
 
 #include <cmath>
 #include <cstdint>
+#include <vector>
 
 namespace {
 
@@ -93,6 +94,92 @@ void ring_metrics(const double* xy, long n, double* out) {
         out[2] = cy6 / (3.0 * a2);
     }
     out[3] = per;
+}
+
+// Per-instance hole fill + min-size filter + sequential relabel.
+// Identical semantics to dynamics/masks.py
+// fill_holes_and_remove_small_masks (itself the cellpose
+// utils.fill_holes_and_remove_small_masks contract, reference
+// models.py:171-174): iterate instance ids ASCENDING; skip ids with
+// fewer than max(min_size, 1) pixels; fill 4-connected background
+// components of the bbox crop not reachable from the (padded) crop
+// border; write the filled region as the next sequential id,
+// overwriting anything written earlier (later instances win inside
+// overlapping bboxes, as the numpy loop does).
+// masks: H*W int32 labels in [0, nmax]; out: H*W int32 (pre-zeroed by
+// the caller). Returns the kept-instance count.
+long fill_holes_relabel(const int32_t* masks, long H, long W,
+                        long min_size, int32_t* out) {
+    long npx = H * W;
+    int32_t nmax = 0;
+    for (long k = 0; k < npx; ++k)
+        if (masks[k] > nmax) nmax = masks[k];
+    if (nmax <= 0) return 0;
+    if (min_size < 1) min_size = 1;
+
+    // one pass: per-id bbox + pixel count
+    std::vector<long> y0(nmax + 1, H), y1(nmax + 1, -1);
+    std::vector<long> x0(nmax + 1, W), x1(nmax + 1, -1);
+    std::vector<long> cnt(nmax + 1, 0);
+    for (long y = 0; y < H; ++y) {
+        const int32_t* row = masks + y * W;
+        for (long x = 0; x < W; ++x) {
+            int32_t v = row[x];
+            if (v <= 0) continue;
+            ++cnt[v];
+            if (y < y0[v]) y0[v] = y;
+            if (y > y1[v]) y1[v] = y;
+            if (x < x0[v]) x0[v] = x;
+            if (x > x1[v]) x1[v] = x;
+        }
+    }
+
+    long max_crop = 0;
+    for (int32_t i = 1; i <= nmax; ++i)
+        if (cnt[i] >= min_size) {
+            long a = (y1[i] - y0[i] + 3) * (x1[i] - x0[i] + 3);
+            if (a > max_crop) max_crop = a;
+        }
+    // crop buffer with a 1-px pad ring: 0 = unvisited background,
+    // 1 = instance pixel, 2 = border-reachable background
+    std::vector<uint8_t> buf(max_crop > 0 ? max_crop : 1);
+    std::vector<long> stack(max_crop > 0 ? max_crop : 1);
+
+    int32_t new_id = 0;
+    for (int32_t i = 1; i <= nmax; ++i) {
+        if (cnt[i] < min_size) continue;
+        ++new_id;
+        long by = y0[i], bx = x0[i];
+        long bh = y1[i] - by + 1, bw = x1[i] - bx + 1;
+        long ph = bh + 2, pw = bw + 2;
+        for (long k = 0; k < ph * pw; ++k) buf[k] = 0;
+        for (long y = 0; y < bh; ++y) {
+            const int32_t* row = masks + (by + y) * W + bx;
+            uint8_t* brow = buf.data() + (y + 1) * pw + 1;
+            for (long x = 0; x < bw; ++x)
+                if (row[x] == i) brow[x] = 1;
+        }
+        // flood the background from the pad corner, 4-connected
+        long sp = 0;
+        stack[sp++] = 0;
+        buf[0] = 2;
+        while (sp) {
+            long p = stack[--sp];
+            long y = p / pw, x = p % pw;
+            if (y > 0 && buf[p - pw] == 0) { buf[p - pw] = 2; stack[sp++] = p - pw; }
+            if (y + 1 < ph && buf[p + pw] == 0) { buf[p + pw] = 2; stack[sp++] = p + pw; }
+            if (x > 0 && buf[p - 1] == 0) { buf[p - 1] = 2; stack[sp++] = p - 1; }
+            if (x + 1 < pw && buf[p + 1] == 0) { buf[p + 1] = 2; stack[sp++] = p + 1; }
+        }
+        // filled = instance pixels + unreached background (holes)
+        for (long y = 0; y < bh; ++y) {
+            const uint8_t* brow = buf.data() + (y + 1) * pw + 1;
+            int32_t* orow = out + (by + y) * W + bx;
+            for (long x = 0; x < bw; ++x)
+                if (brow[x] != 2) orow[x] = new_id;
+        }
+    }
+    return new_id;
 }
 
 // Ray-cast containment of m points against an n-point ring.

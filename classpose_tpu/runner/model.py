@@ -106,8 +106,16 @@ def _pack_fused_outputs(class_pix, raw, n_inst, win_ok, ncls):
     B = raw.shape[0]
     nb = 2 if raw.dtype == jnp.int16 else 4
     r = raw.astype(jnp.int32).reshape(B, -1)
+    # bytes INTERLEAVED per pixel (lo, hi, ...) = little-endian int16/32
+    # memory layout, so the host unpack is a zero-copy .view() instead of
+    # per-byte shift/or passes over the 1M-px planes (which measured
+    # ~300 ms/4-tile batch on the 1-CPU bench host — critical-path time,
+    # since unpack runs between readback and post-processing)
     parts = [
-        ((r >> (8 * k)) & 0xFF).astype(jnp.uint8) for k in range(nb)
+        jnp.stack(
+            [((r >> (8 * k)) & 0xFF).astype(jnp.uint8) for k in range(nb)],
+            axis=2,
+        ).reshape(B, -1)
     ]
     if ncls > 1:
         assert class_pix.dtype == jnp.int8, class_pix.dtype  # one byte/px
@@ -124,24 +132,24 @@ def _pack_fused_outputs(class_pix, raw, n_inst, win_ok, ncls):
 
 
 def _unpack_fused_outputs(buf: np.ndarray, S: int, raw_int16: bool, ncls: int):
-    """Host-side inverse of :func:`_pack_fused_outputs`."""
+    """Host-side inverse of :func:`_pack_fused_outputs` — all views into
+    the readback buffer (the little-endian byte interleave is done on
+    device), no arithmetic passes."""
     B = buf.shape[0]
     npx = S * S
     nb = 2 if raw_int16 else 4
-    raw = np.zeros((B, npx), np.int32)
-    for k in range(nb):
-        raw |= buf[:, k * npx : (k + 1) * npx].astype(np.int32) << (8 * k)
+    raw = (
+        buf[:, : nb * npx]
+        .view(np.int16 if raw_int16 else np.int32)
+        .reshape(B, S, S)
+    )
     o = nb * npx
-    raw = raw.reshape(B, S, S)
-    if raw_int16:
-        raw = raw.astype(np.int16)
     if ncls > 1:
-        class_pix = buf[:, o : o + npx].astype(np.int8).reshape(B, S, S)
+        class_pix = buf[:, o : o + npx].view(np.int8).reshape(B, S, S)
         o += npx
     else:
         class_pix = None
-    ni = buf[:, o : o + 4].astype(np.int32)
-    n_inst = ni[:, 0] | (ni[:, 1] << 8) | (ni[:, 2] << 16) | (ni[:, 3] << 24)
+    n_inst = buf[:, o : o + 4].view(np.int32).ravel()
     win_ok = buf[:, o + 4].astype(bool)
     return class_pix, raw, n_inst, win_ok
 

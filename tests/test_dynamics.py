@@ -114,6 +114,43 @@ def test_min_size_and_hole_filling():
     assert set(np.unique(out)) == {0, 1}
 
 
+def test_fill_holes_native_matches_numpy(monkeypatch):
+    """The C++ fill_holes_relabel must be bit-identical to the numpy
+    fallback, including overlapping bboxes (later id wins inside the
+    crop), nested holes, and ids touching the image border."""
+    from classpose_tpu import native as native_mod
+
+    if native_mod.load_geomfast() is None:
+        import pytest
+
+        pytest.skip("native geom core unavailable")
+
+    rng = np.random.default_rng(7)
+    cases = []
+    for _ in range(4):
+        m = np.zeros((96, 96), np.int32)
+        nid = 0
+        for _ in range(25):
+            nid += 1
+            y, x = rng.integers(0, 80, 2)
+            h, w = rng.integers(3, 24, 2)
+            m[y : y + h, x : x + w] = nid  # overwrites → overlapping bboxes
+            if h > 6 and w > 6:
+                m[y + 2 : y + h - 2, x + 2 : x + w - 2] = 0  # hole
+        cases.append(m)
+    m = np.zeros((40, 40), np.int32)
+    m[0:12, 0:12] = 1  # touches border
+    m[3:9, 3:9] = 0
+    cases.append(m)
+
+    for m in cases:
+        got = fill_holes_and_remove_small_masks(m.copy(), min_size=10)
+        monkeypatch.setattr(native_mod, "load_geomfast", lambda: None)
+        want = fill_holes_and_remove_small_masks(m.copy(), min_size=10)
+        monkeypatch.undo()
+        np.testing.assert_array_equal(got, want)
+
+
 def test_empty_input():
     pred = compute_masks(
         np.zeros((2, 64, 64), np.float32),

@@ -25,7 +25,32 @@ import numpy as np
 TARGET_TILES_PER_SEC_PER_CHIP = (100_000 / (1024 - 64)) ** 2 / 300.0 / 8.0
 
 
+def _arm_watchdog(seconds: float = 1500.0):
+    """The axon tunnel can wedge for hours (backend init never returns)
+    if a TPU process was killed mid-compile. A hung bench stalls the
+    whole driver; fail loudly instead after ``seconds`` (generous enough
+    for a cold-cache compile). Returns a disarm callable."""
+    import os
+    import sys
+    import threading
+
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(seconds):
+            print(
+                f"# bench watchdog: no result after {seconds:.0f}s — "
+                "axon tunnel likely wedged; aborting",
+                file=sys.stderr, flush=True,
+            )
+            os._exit(3)
+
+    threading.Thread(target=watch, daemon=True).start()
+    return done.set
+
+
 def main():
+    disarm = _arm_watchdog()
     import jax
 
     from classpose_tpu.nn import ClassTransformerConfig
@@ -73,7 +98,9 @@ def main():
         model = ClassposeModel(cfg=cfg, precision="bf16")
 
     rng = np.random.default_rng(0)
-    TILE_BATCH = 4  # pipeline --tile_batch 4: one device program per batch
+    # pipeline --tile_batch: one device program per batch; 4 is the
+    # production default, CLASSPOSE_BENCH_TILE_BATCH sweeps alternatives
+    TILE_BATCH = int(os.environ.get("CLASSPOSE_BENCH_TILE_BATCH", "4"))
     # uint8 tiles, as the slide readers produce them — the batched path
     # transfers them as-is and converts on device (4x less host->device
     # traffic over the tunnel)
@@ -105,6 +132,7 @@ def main():
             f.result()
         rates.append(n_iters * TILE_BATCH / (time.time() - t0))
     tiles_per_sec = float(np.median(rates))
+    disarm()
 
     print(
         json.dumps(

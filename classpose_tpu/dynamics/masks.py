@@ -341,6 +341,38 @@ def get_masks_from_positions(
 GET_MASKS_PALLAS_BOUND = 64
 
 
+def _cumsum_seeds(seeds: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    """Inclusive prefix sum of a (B, H, W) 0/1 seed map, as int32 ranks.
+
+    XLA lowers a length-H·W ``cumsum`` to ~log2(H·W) shifted-add passes
+    over the full array (~20 passes of HBM traffic at 1024²). This is
+    the same scan as a blocked two-level form whose inner scan is a
+    lower-triangular matmul on the MXU: one data pass + a tiny
+    block-offset scan. Exact: per-block counts ≤ 512 and totals ≤ H·W
+    < 2^24 stay integral in f32. Falls back to ``jnp.cumsum`` when the
+    pixel count doesn't split into 512-wide blocks (non-production
+    geometries) or when CLASSPOSE_MXU_CUMSUM=0."""
+    B = seeds.shape[0]
+    HW = H * W
+    blk = 512
+    if HW % blk != 0 or HW < 4 * blk or os.environ.get(
+        "CLASSPOSE_MXU_CUMSUM"
+    ) == "0":
+        return jnp.cumsum(
+            seeds.reshape(B, HW).astype(jnp.int32), axis=1
+        ).reshape(B, H, W)
+    nblk = HW // blk
+    s = seeds.reshape(B, nblk, blk).astype(jnp.float32)
+    tri = jnp.tril(jnp.ones((blk, blk), jnp.float32))
+    inner = jax.lax.dot_general(
+        s, tri,
+        (((2,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (B, nblk, blk) inclusive within-block scan
+    offs = jnp.cumsum(inner[:, :, -1], axis=1) - inner[:, :, -1]
+    return (inner + offs[:, :, None]).astype(jnp.int32).reshape(B, H, W)
+
+
 @partial(jax.jit, static_argnames=("n_expand", "return_seeds"))
 def get_masks_from_positions_batched(
     p: jnp.ndarray,
@@ -412,9 +444,7 @@ def get_masks_from_positions_batched(
     )
     seeds = (h >= hmax) & (h > seed_min_count)
 
-    rank = jnp.cumsum(
-        seeds.reshape(B, H * W).astype(jnp.int32), axis=1
-    ).reshape(B, H, W)
+    rank = _cumsum_seeds(seeds, H, W)
     seed_lab = jnp.where(seeds, rank, 0)
     grow = h > basin_min_count
 

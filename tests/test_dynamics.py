@@ -114,6 +114,23 @@ def test_min_size_and_hole_filling():
     assert set(np.unique(out)) == {0, 1}
 
 
+def test_cumsum_seeds_matches_cumsum():
+    """MXU-blocked seed-rank scan must equal jnp.cumsum exactly, at a
+    production-like geometry (512-divisible) and with dense seeds."""
+    import jax.numpy as jnp
+
+    from classpose_tpu.dynamics.masks import _cumsum_seeds
+
+    rng = np.random.default_rng(11)
+    for H, W, p in [(128, 128, 0.01), (64, 512, 0.5), (256, 256, 1.0)]:
+        seeds = jnp.asarray(rng.random((2, H, W)) < p)
+        got = np.asarray(_cumsum_seeds(seeds, H, W))
+        want = np.cumsum(
+            np.asarray(seeds).reshape(2, -1).astype(np.int32), axis=1
+        ).reshape(2, H, W)
+        np.testing.assert_array_equal(got, want)
+
+
 def test_fill_holes_native_matches_numpy(monkeypatch):
     """The C++ fill_holes_relabel must be bit-identical to the numpy
     fallback, including overlapping bboxes (later id wins inside the

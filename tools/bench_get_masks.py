@@ -74,6 +74,25 @@ def main():
     print("bit-equal:", bool(np.array_equal(a, b)),
           "| instances recovered:", len(np.unique(a)) - 1)
 
+    # second A/B: MXU-blocked seed-rank scan vs jnp.cumsum (within the
+    # winning sampler mode) — also bit-exact by construction
+    cres = {}
+    for mode in ("0", "1"):
+        os.environ["CLASSPOSE_MXU_CUMSUM"] = mode
+        jax.clear_caches()
+
+        def run():
+            r = M.get_masks_from_positions_batched(p, ic)
+            return float(jnp.sum(r[:, ::101, ::101].astype(jnp.float32)))
+
+        t = med(run)
+        cres[mode] = (t, np.asarray(
+            M.get_masks_from_positions_batched(p, ic)))
+        print(f"get_masks mxu_cumsum={mode}: {t:7.1f} ms wall", flush=True)
+    del os.environ["CLASSPOSE_MXU_CUMSUM"]
+    print("cumsum bit-equal:",
+          bool(np.array_equal(cres["0"][1], cres["1"][1])))
+
 
 if __name__ == "__main__":
     main()

@@ -165,6 +165,35 @@ class Polygon:
         return not _ring_self_intersects(r)
 
 
+def rings_batch_metrics(rings: list[np.ndarray]) -> np.ndarray:
+    """(m, 5) [signed_area, cx, cy, perimeter, simple] for a list of open
+    (N, 2) float64 rings — ONE native call for the whole batch (the
+    per-cell ctypes round trips dominated validity cost at WSI cell
+    counts). Numpy fallback loops :func:`_ring_metrics` +
+    :func:`_ring_self_intersects` with identical semantics."""
+    m = len(rings)
+    out = np.empty((m, 5), np.float64)
+    if m == 0:
+        return out
+    lib = load_geomfast()
+    if lib is not None:
+        offs = np.zeros(m + 1, np.int64)
+        np.cumsum([len(r) for r in rings], out=offs[1:])
+        xy = np.concatenate(rings, axis=0) if m > 1 else rings[0]
+        xy = np.ascontiguousarray(xy, np.float64)
+        lib.rings_batch(
+            xy.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+            m,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        return out
+    for k, r in enumerate(rings):
+        out[k, :4] = _ring_metrics(r)
+        out[k, 4] = 0.0 if _ring_self_intersects(r) else 1.0
+    return out
+
+
 def _point_in_ring(ring: np.ndarray, x: float, y: float) -> bool:
     return bool(_points_in_ring(ring, np.array([[x, y]]))[0])
 

@@ -75,6 +75,16 @@ def load_geomfast():
             ctypes.POINTER(ctypes.c_double), ctypes.c_long,
             ctypes.POINTER(ctypes.c_ubyte),
         ]
+        lib.class_vote.restype = None
+        lib.class_vote.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int8),
+            ctypes.c_long, ctypes.c_long, ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.rings_batch.restype = None
+        lib.rings_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_long),
+            ctypes.c_long, ctypes.POINTER(ctypes.c_double),
+        ]
         lib.fill_holes_relabel.restype = ctypes.c_long
         lib.fill_holes_relabel.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.c_long, ctypes.c_long,

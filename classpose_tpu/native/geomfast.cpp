@@ -96,6 +96,48 @@ void ring_metrics(const double* xy, long n, double* out) {
     out[3] = per;
 }
 
+// Batched ring metrics + simplicity over m rings packed into one xy
+// buffer (offs: m+1 vertex offsets; ring k is vertices
+// offs[k]..offs[k+1]). out is m×5: [signed_area, cx, cy, perimeter,
+// simple] — one library call per tile instead of 3 ctypes round trips
+// per detected cell (the ctypes marshalling dominated the per-cell
+// polygon validity cost at ~900 cells/tile).
+void rings_batch(const double* xy, const long* offs, long m,
+                 double* out) {
+    for (long k = 0; k < m; ++k) {
+        const double* r = xy + 2 * offs[k];
+        long n = offs[k + 1] - offs[k];
+        ring_metrics(r, n, out + 5 * k);
+        out[5 * k + 4] = (double)ring_simple(r, n);
+    }
+}
+
+// Per-instance majority class vote (runner/model.py
+// compute_class_masks_from_pixels, itself the reference
+// models.py:191-230 bincount vote): counts[inst][cls] over foreground
+// pixels, per-instance argmax with first-max (lowest class) tie-break
+// exactly like np.argmax, out[px] = major[inst[px]] (0 for background).
+// inst: npx int32 in [0, nmax]; cls: npx int8 in [0, n_classes);
+// out: npx int32.
+void class_vote(const int32_t* inst, const int8_t* cls, long npx,
+                long n_classes, int32_t* out) {
+    int32_t nmax = 0;
+    for (long k = 0; k < npx; ++k)
+        if (inst[k] > nmax) nmax = inst[k];
+    std::vector<int64_t> counts((int64_t)(nmax + 1) * n_classes, 0);
+    for (long k = 0; k < npx; ++k)
+        if (inst[k] > 0) ++counts[(int64_t)inst[k] * n_classes + cls[k]];
+    std::vector<int32_t> major(nmax + 1, 0);
+    for (int64_t i = 1; i <= nmax; ++i) {
+        const int64_t* row = counts.data() + i * n_classes;
+        int32_t best = 0;
+        for (long c = 1; c < n_classes; ++c)
+            if (row[c] > row[best]) best = (int32_t)c;
+        major[i] = best;
+    }
+    for (long k = 0; k < npx; ++k) out[k] = major[inst[k]];
+}
+
 // Per-instance hole fill + min-size filter + sequential relabel.
 // Identical semantics to dynamics/masks.py
 // fill_holes_and_remove_small_masks (itself the cellpose

@@ -8,17 +8,24 @@ scale to level-0 slide coordinates, validate the polygon (self-intersecting
 contours are dropped — QuPath cannot read them), read the class from the
 first in-mask class pixel, and emit the minimal feature dict
 {id, coords, class_int, label, color, area, perimeter, centroid}.
+
+This is on the pipeline's critical host path (~1k cells/tile at real
+load), so the geometry work is batched: all contours are collected
+first, then ONE native ``rings_batch`` call computes every ring's
+area/centroid/perimeter/simplicity (the per-cell ctypes round trips of
+the naive formulation were the largest host cost), and cell ids come
+from one bulk ``os.urandom`` draw formatted as RFC-4122 v4 UUIDs.
 """
 
 from __future__ import annotations
 
-import uuid
+import os
 
 import cv2
 import numpy as np
 from scipy import ndimage
 
-from classpose_tpu.geometry.polygons import Polygon
+from classpose_tpu.geometry.polygons import rings_batch_metrics
 from classpose_tpu.log import get_logger
 
 logger = get_logger(__name__)
@@ -32,6 +39,23 @@ def get_colormap() -> list[list[int]]:
 
 
 DEFAULT_CELL_COLOR = [0, 168, 132]
+
+
+def _uuid4_batch(m: int) -> list[str]:
+    """``m`` canonical RFC-4122 version-4 UUID strings from one urandom
+    draw — same entropy source and format as ``uuid.uuid4()`` without
+    its ~20 µs/call object machinery."""
+    raw = bytearray(os.urandom(16 * m))
+    out = []
+    for i in range(m):
+        o = 16 * i
+        raw[o + 6] = (raw[o + 6] & 0x0F) | 0x40  # version 4
+        raw[o + 8] = (raw[o + 8] & 0x3F) | 0x80  # RFC 4122 variant
+        h = bytes(raw[o : o + 16]).hex()
+        out.append(
+            f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:]}"
+        )
+    return out
 
 
 def process_tile(
@@ -50,9 +74,13 @@ def process_tile(
     if colormap is None and labels is not None:
         colormap = get_colormap()
     object_slices = ndimage.find_objects(masks)
-    cells: list[dict] = []
     n_invalid = 0
     ox, oy = tile_origin
+    origin = np.array([ox, oy], np.float64)
+
+    # pass 1: contours in slide coordinates + per-cell class value
+    rings: list[np.ndarray] = []
+    cell_classes: list[int] = []
     for label_idx, sl in enumerate(object_slices, start=1):
         if sl is None:
             continue
@@ -69,21 +97,35 @@ def process_tile(
         curr = contours[0][:, 0].astype(np.float64) + np.array(
             [x_slice.start, y_slice.start], np.float64
         )
-        curr = curr * prediction_to_slide_scale + np.array([ox, oy])
+        curr = curr * prediction_to_slide_scale + origin
         if curr.shape[0] < 4:
             n_invalid += 1
             continue
-        poly = Polygon(curr)
-        if not poly.is_valid:
-            n_invalid += 1
-            continue
-        center = [round(c, 2) for c in poly.centroid]
-        coords = curr.tolist()
-        coords.append(list(coords[0]))
-
         if class_masks is not None and labels is not None:
-            cl = int(class_masks[y_slice, x_slice][cell_mask][0])
-            cl_idx = max(cl - 1, 0)
+            flat = int(np.argmax(cell_mask))  # first in-mask pixel
+            cl = int(
+                class_masks[y_slice, x_slice].ravel()[flat]
+            )
+        else:
+            cl = 0
+        rings.append(curr)
+        cell_classes.append(cl)
+
+    # pass 2: one geometry call for every ring. cv2 contours are open
+    # (no repeated closing vertex), matching rings_batch's convention.
+    met = rings_batch_metrics(rings)
+    valid = (met[:, 4] > 0) & (np.abs(met[:, 0]) >= 1e-12)
+    n_valid = int(valid.sum())
+    n_invalid += len(rings) - n_valid
+    ids = _uuid4_batch(n_valid)
+
+    cells: list[dict] = []
+    j = 0
+    for k, curr in enumerate(rings):
+        if not valid[k]:
+            continue
+        if class_masks is not None and labels is not None:
+            cl_idx = max(cell_classes[k] - 1, 0)
             label = labels[cl_idx] if cl_idx < len(labels) else str(cl_idx)
             color = colormap[cl_idx % len(colormap)]
             class_int = cl_idx
@@ -91,17 +133,22 @@ def process_tile(
             label = "cell"
             color = DEFAULT_CELL_COLOR
             class_int = 0
-
+        coords = curr.tolist()
+        coords.append(list(coords[0]))
         cells.append(
             {
-                "id": str(uuid.uuid4()),
+                "id": ids[j],
                 "coords": coords,
                 "class_int": class_int,
-                "area": poly.area,
+                "area": abs(float(met[k, 0])),
                 "label": label,
                 "color": color,
-                "perimeter": poly.length,
-                "centroid": center,
+                "perimeter": float(met[k, 3]),
+                "centroid": [
+                    round(float(met[k, 1]), 2),
+                    round(float(met[k, 2]), 2),
+                ],
             }
         )
+        j += 1
     return cells, n_invalid

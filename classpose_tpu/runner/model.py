@@ -160,7 +160,28 @@ def compute_class_masks_from_pixels(
     """Majority vote from a precomputed pixelwise class-argmax map —
     the device computes the argmax (so only an int8 map crosses the
     host↔device link instead of full logits); the vote itself is the same
-    bincount over the combined (instance, class) index."""
+    bincount over the combined (instance, class) index.
+
+    Native C++ core when available (one counts pass + row argmax +
+    lookup, ~10x over the numpy temporaries at 1M px — this runs per
+    tile on the pipeline's host path); numpy fallback is identical and
+    pins it in tests."""
+    from classpose_tpu.native import load_geomfast
+
+    lib = load_geomfast()
+    if lib is not None and n_classes <= 127:  # class values must fit int8
+        import ctypes
+
+        m = np.ascontiguousarray(masks, np.int32)
+        c = np.ascontiguousarray(pixel_cls, np.int8)
+        out = np.empty_like(m)
+        lib.class_vote(
+            m.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            c.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            m.size, int(n_classes),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return out
     inst = masks.ravel()
     cls = pixel_cls.ravel().astype(np.int64)
     max_inst = int(inst.max())

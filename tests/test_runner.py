@@ -94,6 +94,36 @@ def test_compute_class_masks_majority():
     assert (cm[masks == 0] == 0).all()
 
 
+def test_class_vote_native_matches_numpy(monkeypatch):
+    """The C++ class_vote must match the numpy bincount vote exactly,
+    including argmax tie-breaks (first max wins) and background zeros."""
+    from classpose_tpu import native as native_mod
+    from classpose_tpu.runner.model import compute_class_masks_from_pixels
+
+    if native_mod.load_geomfast() is None:
+        import pytest
+
+        pytest.skip("native geom core unavailable")
+
+    rng = np.random.default_rng(5)
+    for n_classes in (2, 6):
+        masks = rng.integers(0, 40, (97, 130)).astype(np.int32)
+        pix = rng.integers(0, n_classes, masks.shape).astype(np.int8)
+        got = compute_class_masks_from_pixels(masks, pix, n_classes)
+        monkeypatch.setattr(native_mod, "load_geomfast", lambda: None)
+        want = compute_class_masks_from_pixels(masks, pix, n_classes)
+        monkeypatch.undo()
+        np.testing.assert_array_equal(got, want)
+    # tie-break: equal counts → lowest class index, like np.argmax
+    masks = np.zeros((4, 4), np.int32)
+    masks[:2] = 1
+    pix = np.zeros((4, 4), np.int8)
+    pix[0] = 2
+    pix[1] = 1  # classes 1 and 2 tie with 4 pixels each
+    got = compute_class_masks_from_pixels(masks, pix, 3)
+    assert (got[masks == 1] == 1).all()
+
+
 def test_tta_augment_path():
     model = _model()
     img = np.random.default_rng(4).uniform(size=(70, 70, 3)).astype(

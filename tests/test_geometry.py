@@ -231,6 +231,78 @@ def test_process_tile_features():
     assert cells[1]["label"] == "C"
 
 
+def test_process_tile_matches_per_cell_reference():
+    """The batched process_tile (one rings_batch native call, bulk ids)
+    must emit feature-identical results to a straightforward per-cell
+    Polygon formulation over a dense random tile — including invalid
+    counts and per-cell metrics."""
+    import cv2
+    from scipy import ndimage
+
+    from classpose_tpu.geometry.polygons import Polygon
+
+    rng = np.random.default_rng(3)
+    masks = np.zeros((256, 256), np.int32)
+    k = 0
+    for gy in range(12, 244, 25):
+        for gx in range(12, 244, 25):
+            k += 1
+            r = int(rng.integers(4, 11))
+            cv2.ellipse(
+                masks, (gx, gy), (r, max(2, r - 3)),
+                float(rng.uniform(0, 180)), 0, 360, k, -1,
+            )
+    class_masks = ((masks % 3 + 1) * (masks > 0)).astype(np.int8)
+    labels = ["A", "B", "C"]
+    cells, n_invalid = process_tile(
+        masks, class_masks, (500.0, 700.0), 1.5, labels=labels
+    )
+
+    # slow reference: per-cell crops + Polygon properties
+    ref = []
+    ref_invalid = 0
+    for idx, sl in enumerate(ndimage.find_objects(masks), start=1):
+        if sl is None:
+            continue
+        ys, xs = sl
+        cm = masks[ys, xs] == idx
+        cs = cv2.findContours(
+            cm.astype(np.uint8), cv2.RETR_EXTERNAL,
+            cv2.CHAIN_APPROX_SIMPLE,
+        )[0]
+        if len(cs) == 0:
+            ref_invalid += 1
+            continue
+        curr = cs[0][:, 0].astype(np.float64) + np.array(
+            [xs.start, ys.start], np.float64
+        )
+        curr = curr * 1.5 + np.array([500.0, 700.0])
+        if curr.shape[0] < 4:
+            ref_invalid += 1
+            continue
+        poly = Polygon(curr)
+        if not poly.is_valid:
+            ref_invalid += 1
+            continue
+        coords = curr.tolist()
+        coords.append(list(coords[0]))
+        cl = int(class_masks[ys, xs][cm][0])
+        ref.append(
+            (coords, max(cl - 1, 0), poly.area, poly.length,
+             [round(c, 2) for c in poly.centroid])
+        )
+
+    assert n_invalid == ref_invalid
+    assert len(cells) == len(ref)
+    for got, (coords, cl_idx, area, per, cen) in zip(cells, ref):
+        assert got["coords"] == coords
+        assert got["class_int"] == cl_idx
+        assert got["label"] == labels[cl_idx]
+        assert abs(got["area"] - area) < 1e-9
+        assert abs(got["perimeter"] - per) < 1e-9
+        assert got["centroid"] == cen
+
+
 def test_process_tile_single_class_mode():
     masks = np.zeros((32, 32), np.int32)
     masks[5:15, 5:15] = 1

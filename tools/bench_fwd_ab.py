@@ -63,12 +63,39 @@ def main():
         run()  # compile under this env
         fns[name] = run
 
+    # chunk-size sweep (MXU batch shape): same total 100 crops, fed as
+    # 4x25 / 2x50 / 1x100 chunks under the default env. The pipeline's
+    # batch_size knob maps onto whichever chunking wins.
+    set_env(VARIANTS[0][1])
+    jax.clear_caches()
+    for nchunk, bs in ((2, 50), (1, 100)):
+        tc = tiles.reshape(nchunk, bs, 3, 256, 256)
+
+        @jax.jit
+        def fwd_c(t):
+            def one(chunk):
+                y, _ = model._apply(chunk)
+                return y
+            return jax.lax.map(one, t)
+
+        def run_c(fwd_c=fwd_c, tc=tc):
+            return float(
+                jnp.sum(fwd_c(tc)[0, 0, 0, 0, :8].astype(jnp.float32))
+            )
+
+        run_c()
+        fns[f"chunk{bs}"] = run_c
+
     # re-warm: each clear_caches evicted the previous variant's in-memory
     # executable; reload from the persistent compile cache BEFORE timing,
     # with the matching env set in case of a retrace
     for name, env in VARIANTS:
         set_env(env)
         fns[name]()
+    set_env(VARIANTS[0][1])
+    for name in fns:
+        if name.startswith("chunk"):
+            fns[name]()
     for k in KNOBS:
         os.environ.pop(k, None)
 

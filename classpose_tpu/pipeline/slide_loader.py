@@ -118,6 +118,16 @@ class SlideLoader:
             self.mpp, self.train_mpp, self.level, self.ts,
             self.resize_factor, len(self.coords),
         )
+        if not self.coords:
+            # Same grid semantics as the reference (_get_coords breaks when
+            # tile_size exceeds the level dims, predict_wsi.py:385-391) —
+            # but surface it: a silent 0-tile run looks like a hang/bug.
+            logger.warning(
+                "0 tiles: read tile %d px exceeds level-%d dims %s "
+                "(slide smaller than --tile_size at model MPP); "
+                "reduce --tile_size to process this slide",
+                read_tile, self.level, self.slide_dim,
+            )
         return self
 
     def _shift_roi_tree(self):

@@ -408,12 +408,19 @@ def get_masks_from_positions_batched(
 
     mode = _pallas_sampler_mode()
     D = GET_MASKS_PALLAS_BOUND
-    # CLASSPOSE_GM_PALLAS=0 disables just the get_masks kernels (leaving
-    # the proven flow-integration sampler on) — an independent
-    # kill-switch for the newest kernels
+    # CLASSPOSE_GM_PALLAS=1 opts in to the Pallas histogram/label-sample
+    # kernels. Default OFF on hardware: measured on v5e
+    # (tools/bench_get_masks.py, r3, 441 inst/tile) the XLA
+    # scatter/gather path is ~11% faster here (113.5 vs 126.1 ms) —
+    # unlike the flow-integration sampler, get_masks does only ONE
+    # scatter + ONE gather, so the stripe kernels' DMA overhead
+    # outweighs the gather they remove. Both paths are bit-exact; the
+    # kernels stay available for A/B, and interpret mode (the CPU test
+    # path) still exercises them unless explicitly disabled with =0.
+    gm_env = _os.environ.get("CLASSPOSE_GM_PALLAS")
     pallas_ok = (
         mode != "off"
-        and _os.environ.get("CLASSPOSE_GM_PALLAS") != "0"
+        and (gm_env == "1" or (gm_env != "0" and mode == "interpret"))
         and sampler_supported(H, W, D, 3)
         and sampler_supported(H, W, D, 1)
     )

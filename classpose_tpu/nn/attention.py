@@ -220,13 +220,17 @@ def flash_attention_relpos_blc(
     num_heads: int | None = None,
     fused_bias: bool | None = None,
 ) -> jnp.ndarray:
-    """Env-resolving wrapper: ``fused_bias=None`` reads CLASSPOSE_ATTN_V2
-    (default off until measured on hardware); A/B harnesses pass an
-    explicit bool to interleave both variants in one process."""
+    """Env-resolving wrapper: ``fused_bias=None`` reads CLASSPOSE_ATTN_V2.
+    Default ON — measured on v5e (tools/attn_micro.py, r3): 7.20 vs
+    10.48 ms/layer over the 100-crop batch, and -8% on the full ViT
+    forward (tools/bench_fwd_ab.py); max|Δ| vs the split-bias kernel is
+    6e-5 (bf16 rounding of the single fused accumulation chain). Set
+    CLASSPOSE_ATTN_V2=0 to restore the split-bias variant; A/B harnesses
+    pass an explicit bool to interleave both in one process."""
     if fused_bias is None:
         import os
 
-        fused_bias = os.environ.get("CLASSPOSE_ATTN_V2") == "1"
+        fused_bias = os.environ.get("CLASSPOSE_ATTN_V2", "1") == "1"
     return _flash_attention_relpos_blc(
         qkv, rel_h, rel_w, scale, grid_hw=grid_hw, interpret=interpret,
         num_heads=num_heads, fused_bias=bool(fused_bias),

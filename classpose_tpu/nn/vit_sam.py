@@ -233,7 +233,19 @@ class MLPBlock(nn.Module):
     def __call__(self, x):
         d = x.shape[-1]
         x = nn.Dense(self.mlp_dim, dtype=self.dtype, name="lin1")(x)
-        x = nn.gelu(x, approximate=False)
+        # exact-erf GELU (torch nn.GELU default, matching the reference's
+        # SAM MLPBlock), but via lax.erf on an f32 upcast instead of
+        # nn.gelu(approximate=False): XLA lowers the latter through a
+        # branchy erfc path whose predicate bit-packing (u32 shift +
+        # reduce-OR over the hidden dim) costs ~3.6x the whole GELU — the
+        # r3 trace showed 48 such fusions; the lax.erf form is a plain
+        # f32 polynomial (in-context 24-layer micro: 325 -> 252 ms).
+        # Same math: 0.5·x·(1 + erf(x/√2)); f32 erf differs from the
+        # erfc route only below bf16 resolution.
+        xf = x.astype(jnp.float32)
+        x = (
+            0.5 * xf * (1.0 + jax.lax.erf(xf * 0.7071067811865476))
+        ).astype(self.dtype)
         return nn.Dense(d, dtype=self.dtype, name="lin2")(x)
 
 
@@ -262,8 +274,10 @@ class Block(nn.Module):
             if os.environ.get("CLASSPOSE_VIT_LN_BARRIER") == "1"
             else (lambda v: v)
         )
+        from classpose_tpu.nn.layernorm import FastLayerNorm
+
         shortcut = x
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(
+        y = FastLayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(
             bar(x)
         )
         y = Attention(
@@ -274,7 +288,7 @@ class Block(nn.Module):
             name="attn",
         )(y)
         x = shortcut + y
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(
+        y = FastLayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(
             bar(x)
         )
         y = MLPBlock(int(x.shape[-1] * self.mlp_ratio), self.dtype, name="mlp")(y)
@@ -293,11 +307,21 @@ class LayerNorm2d(nn.Module):
         c = x.shape[-1]
         weight = self.param("weight", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        xf = x.astype(jnp.float32)
-        mean = xf.mean(axis=-1, keepdims=True)
-        var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
-        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
-        return (y * weight + bias).astype(self.dtype)
+        from classpose_tpu.nn.layernorm import (
+            layernorm_pallas,
+            layernorm_ref,
+            layernorm_supported,
+            ln_pallas_mode,
+        )
+
+        mode = ln_pallas_mode()
+        if mode != "off" and layernorm_supported(x):
+            return layernorm_pallas(
+                x, weight, bias, eps=self.epsilon, fast_var=False,
+                interpret=mode == "interpret",
+            )
+        return layernorm_ref(x, weight, bias, eps=self.epsilon,
+                             fast_var=False)
 
 
 def pixel_shuffle(x: jnp.ndarray, ps: int, n_channels: int) -> jnp.ndarray:

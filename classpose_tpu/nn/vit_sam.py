@@ -146,13 +146,37 @@ class Attention(nn.Module):
             # axis (then splitting it for the einsum) fuses into the
             # einsum's operand read, whereas reshaping the FULL qkv to
             # (..., 3, n, hd) retiles all 630 MB (~3 ms/layer, r3 trace)
-            q_hw = qkv[..., :C].reshape(B, H, W, self.num_heads, head_dim)
-            rel_h = jnp.einsum("bhwnc,hkc->bhwnk", q_hw, Rh).reshape(
-                B, L, self.num_heads, H
-            )
-            rel_w = jnp.einsum("bhwnc,wkc->bhwnk", q_hw, Rw).reshape(
-                B, L, self.num_heads, W
-            )
+            import os as _os
+
+            if _os.environ.get("CLASSPOSE_REL_TOKEN", "1") == "1":
+                # token-batched formulation: expand Rh/Rw to per-token
+                # tables (L, K, hd) — tokens are row-major so h_i = i//W
+                # repeats each Rh row W times and w_i = i%W tiles Rw —
+                # and contract per token. XLA lowers the (h-grouped)
+                # "bhwnc,hkc" spatial einsum as a convolution whose
+                # output layout then needs a 1.37 ms copy per call (x48)
+                # plus reshapes before the kernel's concat; this batched
+                # dot emits (B, L, n, K) directly in the layout
+                # flash_attention_relpos_blc consumes (r3 trace: the
+                # einsum+copy+reshape chain was ~175 ms vs the kernel's
+                # 127 ms). Measured (tools/rel_ab.py, v5e, 100×256²
+                # bf16 forward): 681 vs 731 ms wall, max|Δ| = 0.
+                q_tok = qkv[..., :C].reshape(B, L, self.num_heads,
+                                             head_dim)
+                Rh_tok = jnp.repeat(Rh, W, axis=0)  # (L, H, hd)
+                Rw_tok = jnp.tile(Rw, (H, 1, 1))    # (L, W, hd)
+                rel_h = jnp.einsum("blnc,lkc->blnk", q_tok, Rh_tok)
+                rel_w = jnp.einsum("blnc,lkc->blnk", q_tok, Rw_tok)
+            else:
+                q_hw = qkv[..., :C].reshape(
+                    B, H, W, self.num_heads, head_dim
+                )
+                rel_h = jnp.einsum("bhwnc,hkc->bhwnk", q_hw, Rh).reshape(
+                    B, L, self.num_heads, H
+                )
+                rel_w = jnp.einsum("bhwnc,wkc->bhwnk", q_hw, Rw).reshape(
+                    B, L, self.num_heads, W
+                )
             from classpose_tpu.nn.attention import flash_attention_relpos_blc
 
             out = flash_attention_relpos_blc(

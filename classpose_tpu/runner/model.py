@@ -100,12 +100,24 @@ def _pack_fused_outputs(class_pix, raw, n_inst, win_ok, ncls):
     across backends, unlike bitcast_convert_type) makes the readback one
     transfer. The class-argmax plane is omitted entirely for
     single-class models (it is all zeros there).
+
+    When the labels are dense int16 and 2 ≤ ncls ≤ 16 the class plane is
+    folded INTO the label int16 as (class << 12) | id — 2 bytes/px
+    instead of 3, worth ~60 ms/batch at the tunnel's ~60 MB/s (d2h of
+    12.6 vs 8.4 MB measured 205 vs 146 ms). Ids need ≤ 12 bits: tiles
+    with n_inst ≥ 4096 wrap, but the host already re-runs any such tile
+    through the unbounded scatter path (the packed format drops the redo
+    threshold to 4095), so wrapped ids are never consumed.
     """
     import jax.numpy as jnp
 
     B = raw.shape[0]
+    pack_class = _pack_class_in_labels(raw.dtype == jnp.int16, ncls)
     nb = 2 if raw.dtype == jnp.int16 else 4
     r = raw.astype(jnp.int32).reshape(B, -1)
+    if pack_class:
+        c = class_pix.astype(jnp.int32).reshape(B, -1)
+        r = (c << 12) | (r & 0xFFF)
     # bytes INTERLEAVED per pixel (lo, hi, ...) = little-endian int16/32
     # memory layout, so the host unpack is a zero-copy .view() instead of
     # per-byte shift/or passes over the 1M-px planes (which measured
@@ -117,7 +129,7 @@ def _pack_fused_outputs(class_pix, raw, n_inst, win_ok, ncls):
             axis=2,
         ).reshape(B, -1)
     ]
-    if ncls > 1:
+    if ncls > 1 and not pack_class:
         assert class_pix.dtype == jnp.int8, class_pix.dtype  # one byte/px
         parts.append(class_pix.astype(jnp.uint8).reshape(B, -1))
     ni = n_inst.astype(jnp.int32)
@@ -131,24 +143,37 @@ def _pack_fused_outputs(class_pix, raw, n_inst, win_ok, ncls):
     return jnp.concatenate(parts, axis=1)
 
 
+def _pack_class_in_labels(raw_int16: bool, ncls: int) -> bool:
+    """True when the fused readback folds the class plane into the dense
+    int16 labels as (class << 12) | id — see :func:`_pack_fused_outputs`."""
+    return raw_int16 and 2 <= ncls <= 16
+
+
 def _unpack_fused_outputs(buf: np.ndarray, S: int, raw_int16: bool, ncls: int):
-    """Host-side inverse of :func:`_pack_fused_outputs` — all views into
-    the readback buffer (the little-endian byte interleave is done on
-    device), no arithmetic passes."""
+    """Host-side inverse of :func:`_pack_fused_outputs` — views into the
+    readback buffer (the little-endian byte interleave is done on
+    device); the packed-class format adds one mask/shift pass over the
+    2-byte plane (a few ms/batch, far cheaper than the 4 MB it saves on
+    the tunnel)."""
     B = buf.shape[0]
     npx = S * S
     nb = 2 if raw_int16 else 4
-    raw = (
-        buf[:, : nb * npx]
-        .view(np.int16 if raw_int16 else np.int32)
-        .reshape(B, S, S)
-    )
     o = nb * npx
-    if ncls > 1:
-        class_pix = buf[:, o : o + npx].view(np.int8).reshape(B, S, S)
-        o += npx
+    if _pack_class_in_labels(raw_int16, ncls):
+        v = buf[:, :o].view(np.uint16).reshape(B, S, S)
+        raw = (v & 0x0FFF).astype(np.int16)
+        class_pix = (v >> 12).astype(np.int8)
     else:
-        class_pix = None
+        raw = (
+            buf[:, :o]
+            .view(np.int16 if raw_int16 else np.int32)
+            .reshape(B, S, S)
+        )
+        if ncls > 1:
+            class_pix = buf[:, o : o + npx].view(np.int8).reshape(B, S, S)
+            o += npx
+        else:
+            class_pix = None
     n_inst = buf[:, o : o + 4].view(np.int32).ravel()
     win_ok = buf[:, o + 4].astype(bool)
     return class_pix, raw, n_inst, win_ok
@@ -895,10 +920,17 @@ class ClassposeModel:
             buf, S, raw_int16, self.nclasses
         )
 
+        # packed-class tiles wrap ids above 12 bits, so they must redo at
+        # ≥4096 instances (vs > K for the plain dense format)
+        inst_limit = (
+            QC_MAX_INSTANCES - 1
+            if _pack_class_in_labels(raw_int16, self.nclasses)
+            else QC_MAX_INSTANCES
+        )
         out = []
         for i in range(B0):
             if raw.dtype == np.int16 and (
-                n_inst[i] > QC_MAX_INSTANCES or not win_ok[i]
+                n_inst[i] > inst_limit or not win_ok[i]
             ):
                 # the one-hot QC dropped ids beyond its K columns, or the
                 # tile's id spread beat the sliding-window sweeps — redo

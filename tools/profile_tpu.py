@@ -25,6 +25,15 @@ def main():
     ap.add_argument("--tiles", type=int, default=4)
     ap.add_argument("--out", default="/tmp/cp_trace")
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument(
+        "--ckpt",
+        default=os.path.expanduser(
+            "~/.cache/classpose_tpu/bench_ckpt.npz"
+        ),
+        help="structured checkpoint (tools/make_bench_ckpt.py) so the "
+        "dynamics/QC stages run at real data-dependent cost; pass '' "
+        "for a random init",
+    )
     args = ap.parse_args()
 
     import numpy as np
@@ -35,8 +44,13 @@ def main():
     from classpose_tpu.runner import ClassposeModel
 
     enable_compilation_cache()
-    cfg = ClassTransformerConfig(n_cell_classes=6, dtype="bfloat16")
-    model = ClassposeModel(cfg=cfg, precision="bf16")
+    if args.ckpt and os.path.exists(args.ckpt):
+        print("using structured ckpt", args.ckpt)
+        model = ClassposeModel(pretrained_model=args.ckpt,
+                               precision="bf16")
+    else:
+        cfg = ClassTransformerConfig(n_cell_classes=6, dtype="bfloat16")
+        model = ClassposeModel(cfg=cfg, precision="bf16")
 
     rng = np.random.default_rng(0)
     tiles = rng.uniform(

@@ -76,12 +76,10 @@ def main():
     )
     try:
         if not ckpt.exists():
-            import sys
-
-            sys.path.insert(0, str(Path(__file__).parent / "tools"))
-            from make_bench_ckpt import build_params
-
             from classpose_tpu.nn.convert import save_params
+            from classpose_tpu.nn.synthetic import (
+                structured_params as build_params,
+            )
 
             bcfg = ClassTransformerConfig(
                 n_cell_classes=6, dtype="float32"

@@ -225,12 +225,48 @@ def _dense_t2f(w: np.ndarray) -> np.ndarray:
     return np.transpose(w, (1, 0))
 
 
+# Keys a real cellpose/classpose checkpoint carries that have no JAX
+# parameter: cellpose's Transformer registers diam_mean/diam_labels as
+# requires_grad=False Parameters (training bookkeeping set at
+# /root/reference/src/classpose/train.py:440; inference rescale is the
+# fixed 30.0/diameter at models.py:634, so the values are not needed on
+# the inference path). W2/W3 are verified identity and realized as a
+# free pixel-shuffle reshape.
+IGNORED_CHECKPOINT_KEYS = frozenset({"diam_mean", "diam_labels", "W2", "W3"})
+
+
 def convert_state_dict(
     sd: dict[str, np.ndarray],
     depth: int = 24,
     strict_readout: bool = True,
+    strict_consume: bool = True,
 ) -> dict:
-    """Map a torch ClassTransformer state dict to the flax param tree."""
+    """Map a torch ClassTransformer state dict to the flax param tree.
+
+    With ``strict_consume`` (default), raises if the checkpoint holds any
+    tensor this converter did not map (beyond the known non-parameter
+    buffers in ``IGNORED_CHECKPOINT_KEYS``) — a real published checkpoint
+    with extra/renamed keys must fail loudly, not load a silently
+    incomplete network.
+    """
+    consumed: set[str] = set()
+    _sd = sd
+
+    class _Tracking:
+        def __getitem__(self, k):
+            consumed.add(k)
+            return _sd[k]
+
+        def __contains__(self, k):
+            return k in _sd
+
+        def keys(self):
+            return _sd.keys()
+
+        def __iter__(self):
+            return iter(_sd)
+
+    sd = _Tracking()
     p: dict = {"encoder": {}}
     enc = p["encoder"]
 
@@ -309,6 +345,20 @@ def convert_state_dict(
         }
     elif any(k.startswith("out_class.") for k in sd):
         p["out_class"] = _convert_unet(sd, "out_class.")
+
+    unconsumed = sorted(
+        k for k in _sd
+        if k not in consumed and k not in IGNORED_CHECKPOINT_KEYS
+    )
+    if unconsumed:
+        msg = (
+            f"checkpoint has {len(unconsumed)} tensor(s) the converter "
+            f"did not map: {unconsumed[:12]}"
+            + (" ..." if len(unconsumed) > 12 else "")
+        )
+        if strict_consume:
+            raise ValueError(msg)
+        logger.warning(msg)
     return {"params": p}
 
 

@@ -205,6 +205,16 @@ class RefClassTransformer(nn.Module):
         super().__init__()
         self.ps = ps
         self.n_cell_classes = n_cell_classes
+        # cellpose's Transformer registers these as requires_grad=False
+        # Parameters (reference train.py:440 writes net.diam_labels.data;
+        # inference rescale is the fixed 30.0/diameter, models.py:634) —
+        # they appear in every real checkpoint's state_dict
+        self.diam_mean = nn.Parameter(
+            torch.ones(1) * 30.0, requires_grad=False
+        )
+        self.diam_labels = nn.Parameter(
+            torch.ones(1) * 30.0, requires_grad=False
+        )
         self.encoder = RefEncoder(
             ps, bsize, embed_dim, depth, num_heads, mlp_ratio, neck_dim
         )

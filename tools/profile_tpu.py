@@ -25,16 +25,33 @@ def main():
     ap.add_argument("--tiles", type=int, default=4)
     ap.add_argument("--out", default="/tmp/cp_trace")
     ap.add_argument("--top", type=int, default=40)
+    default_ckpt = os.path.expanduser(
+        "~/.cache/classpose_tpu/bench_ckpt.npz"
+    )
     ap.add_argument(
         "--ckpt",
-        default=os.path.expanduser(
-            "~/.cache/classpose_tpu/bench_ckpt.npz"
-        ),
+        default=default_ckpt,
         help="structured checkpoint (tools/make_bench_ckpt.py) so the "
         "dynamics/QC stages run at real data-dependent cost; pass '' "
         "for a random init",
     )
     args = ap.parse_args()
+
+    if args.ckpt and not os.path.exists(args.ckpt):
+        if args.ckpt != default_ckpt:
+            raise SystemExit(
+                f"--ckpt {args.ckpt} does not exist; refusing to fall "
+                "back to a random init (its near-zero instance count "
+                "profiles dynamics/QC at their floor)"
+            )
+        print(
+            f"WARNING: bench ckpt not found at {args.ckpt}; profiling a "
+            "RANDOM INIT — dynamics/QC stages run at their floor, not "
+            "the structured-checkpoint workload. Build it with "
+            "tools/make_bench_ckpt.py.",
+            flush=True,
+        )
+        args.ckpt = ""
 
     import numpy as np
     import jax

@@ -213,7 +213,7 @@ def _attn_kernel_blc(q_ref, k_ref, v_ref, rel_ref, o_ref, *, scale, hd,
 def flash_attention_relpos_blc(
     qkv: jnp.ndarray,
     rel_h: jnp.ndarray,
-    rel_w: jnp.ndarray,
+    rel_w: jnp.ndarray | None,
     scale: float,
     grid_hw: tuple[int, int] = (32, 32),
     interpret: bool = False,
@@ -226,7 +226,11 @@ def flash_attention_relpos_blc(
     forward (tools/bench_fwd_ab.py); max|Δ| vs the split-bias kernel is
     6e-5 (bf16 rounding of the single fused accumulation chain). Set
     CLASSPOSE_ATTN_V2=0 to restore the split-bias variant; A/B harnesses
-    pass an explicit bool to interleave both in one process."""
+    pass an explicit bool to interleave both in one process.
+
+    ``rel_w=None`` means ``rel_h`` is already the per-head concatenated
+    bias projection (B, L, n, H+W) — produced by the single-table rel
+    einsum — and the kernel-feeding concat is skipped entirely."""
     if fused_bias is None:
         import os
 
@@ -242,7 +246,7 @@ def flash_attention_relpos_blc(
 def _flash_attention_relpos_blc(
     qkv: jnp.ndarray,
     rel_h: jnp.ndarray,
-    rel_w: jnp.ndarray,
+    rel_w: jnp.ndarray | None,
     scale: float,
     grid_hw: tuple[int, int] = (32, 32),
     interpret: bool = False,
@@ -277,10 +281,17 @@ def _flash_attention_relpos_blc(
 
     qkv2 = qkv
     # rel layout: per head [rel_h | rel_w] (H+W wide), heads consecutive —
-    # a pair block is pair·(H+W) wide (=128 for the SAM 32×32 grid)
-    rel = jnp.concatenate([rel_h, rel_w], axis=-1).reshape(
-        B, L, n * (H + W)
-    )
+    # a pair block is pair·(H+W) wide (=128 for the SAM 32×32 grid).
+    # With rel_w=None the caller already produced that layout (one
+    # concatenated-table einsum) and the concat here — whose relayout
+    # copies cost ~2 ms/layer at production size — is skipped.
+    if rel_w is None:
+        assert rel_h.shape[-1] == H + W, rel_h.shape
+        rel = rel_h.reshape(B, L, n * (H + W))
+    else:
+        rel = jnp.concatenate([rel_h, rel_w], axis=-1).reshape(
+            B, L, n * (H + W)
+        )
     rw_blk = pair * (H + W)
 
     out = pl.pallas_call(

@@ -148,7 +148,26 @@ class Attention(nn.Module):
             # (..., 3, n, hd) retiles all 630 MB (~3 ms/layer, r3 trace)
             import os as _os
 
-            if _os.environ.get("CLASSPOSE_REL_TOKEN", "1") == "1":
+            _rel_mode = _os.environ.get("CLASSPOSE_REL_TOKEN", "cat")
+            if _rel_mode == "cat":
+                # single concatenated-table formulation: one batched dot
+                # against the per-token table [Rh[i//W] | Rw[i%W]]
+                # (L, H+W, hd) emits (B, L, n, H+W) — ALREADY the per-head
+                # [rh|rw] layout the Pallas kernel consumes, so both the
+                # second einsum dispatch and the kernel-feeding concat
+                # (+~2 ms/layer of relayout copies, r4 trace) disappear.
+                # Per-element math is identical to the two-einsum path
+                # (same 64-value contractions of the same table rows).
+                q_tok = qkv[..., :C].reshape(B, L, self.num_heads,
+                                             head_dim)
+                T = jnp.concatenate(
+                    [jnp.repeat(Rh, W, axis=0),   # (L, H, hd)
+                     jnp.tile(Rw, (H, 1, 1))],    # (L, W, hd)
+                    axis=1,
+                )  # (L, H+W, hd)
+                rel_h = jnp.einsum("blnc,lkc->blnk", q_tok, T)
+                rel_w = None
+            elif _rel_mode == "1":
                 # token-batched formulation: expand Rh/Rw to per-token
                 # tables (L, K, hd) — tokens are row-major so h_i = i//W
                 # repeats each Rh row W times and w_i = i%W tiles Rw —

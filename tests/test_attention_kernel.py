@@ -143,3 +143,55 @@ def test_blc_kernel_flat_qkv_matches_5d():
     np.testing.assert_array_equal(
         np.asarray(out5, np.float32), np.asarray(out3, np.float32)
     )
+
+
+def test_blc_precat_rel_matches_split():
+    """rel_w=None (pre-concatenated (B, L, n, H+W) bias projection from
+    the single-table einsum) must be bit-identical to passing rel_h and
+    rel_w separately — the kernel sees the same bytes either way."""
+    rng = np.random.default_rng(11)
+    qkv5 = jnp.asarray(rng.normal(size=(B, L, 3, n, hd)), jnp.float32)
+    rel_h = jnp.asarray(rng.normal(size=(B, L, n, H)) * 2, jnp.float32)
+    rel_w = jnp.asarray(rng.normal(size=(B, L, n, W)) * 2, jnp.float32)
+
+    out_split = flash_attention_relpos_blc(
+        qkv5, rel_h, rel_w, hd**-0.5, grid_hw=(H, W), interpret=True
+    )
+    rel_cat = jnp.concatenate([rel_h, rel_w], axis=-1)
+    out_cat = flash_attention_relpos_blc(
+        qkv5, rel_cat, None, hd**-0.5, grid_hw=(H, W), interpret=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_split, np.float32), np.asarray(out_cat, np.float32)
+    )
+
+
+def test_rel_token_modes_agree_through_vit_block():
+    """CLASSPOSE_REL_TOKEN modes (spatial 0 / token 1 / cat) must produce
+    identical ViT attention outputs — the cat mode contracts the same
+    table rows per element."""
+    import os
+
+    import jax
+
+    from classpose_tpu.nn.vit_sam import Attention
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, H, W, n * hd)), jnp.float32)
+    outs = {}
+    for mode in ("0", "1", "cat"):
+        os.environ["CLASSPOSE_REL_TOKEN"] = mode
+        try:
+            attn = Attention(
+                num_heads=n, input_size=(H, W), dtype=jnp.float32,
+                allow_pallas=False,
+            )
+            params = attn.init(jax.random.PRNGKey(0), x)
+            outs[mode] = np.asarray(attn.apply(params, x))
+        finally:
+            os.environ.pop("CLASSPOSE_REL_TOKEN", None)
+    # allow_pallas=False keeps everything on the XLA path where the env
+    # modes don't branch — this asserts the fp32 block output is stable
+    # and (trivially) that no mode crashes on the CPU backend
+    np.testing.assert_array_equal(outs["0"], outs["1"])
+    np.testing.assert_array_equal(outs["0"], outs["cat"])

@@ -208,6 +208,16 @@ def test_pipeline_oracle_end_to_end(synthetic_slide, tmp_path):
     assert fc["type"] == "FeatureCollection"
     assert len(fc["features"]) == result["n_cells"]
 
+    # INDEPENDENT spec validation (VERDICT r3 item 7): zarr_spec_check
+    # re-implements zarr v2 + numcodecs vlen-utf8 + AnnData 0.1.0 from
+    # the published specs (it never imports zarrlite), so this catches
+    # writer/reader shared-bug self-validation
+    from classpose_tpu.io.zarr_spec_check import validate_spatialdata_store
+
+    summary = validate_spatialdata_store(store)
+    assert summary["n_cells"] == result["n_cells"]
+    assert "tables/cellular_densities" in summary["tables"]
+
 
 def test_pipeline_classification_accuracy(synthetic_slide, tmp_path):
     slide_path, gt = synthetic_slide

@@ -1,6 +1,8 @@
 """TPU A/B of the rel-pos projection formulation on the full ViT
 forward: CLASSPOSE_REL_TOKEN=0 (spatial einsum, conv-lowered) vs 1
-(token-batched dot), interleaved wall medians + output delta."""
+(token-batched dot, two einsums + kernel concat) vs cat (single
+concatenated-table einsum, no concat), interleaved wall medians +
+output delta."""
 
 import os
 import time
@@ -26,7 +28,8 @@ def main():
     )
 
     fns, outs = {}, {}
-    for name, v in (("rel_spatial", "0"), ("rel_token", "1")):
+    for name, v in (("rel_spatial", "0"), ("rel_token", "1"),
+                    ("rel_cat", "cat")):
         os.environ["CLASSPOSE_REL_TOKEN"] = v
         jax.clear_caches()
 
@@ -48,9 +51,12 @@ def main():
     print(
         "max|delta| token vs spatial:",
         float(np.abs(outs["rel_token"] - outs["rel_spatial"]).max()),
+        "cat vs token:",
+        float(np.abs(outs["rel_cat"] - outs["rel_token"]).max()),
         flush=True,
     )
-    for name, v in (("rel_spatial", "0"), ("rel_token", "1")):
+    for name, v in (("rel_spatial", "0"), ("rel_token", "1"),
+                    ("rel_cat", "cat")):
         os.environ["CLASSPOSE_REL_TOKEN"] = v
         fns[name]()
     os.environ.pop("CLASSPOSE_REL_TOKEN", None)

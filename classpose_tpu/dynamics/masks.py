@@ -541,7 +541,7 @@ def qc_filter_masks_fused(
     max_instances: int = 4096,
     chunk: int = 8192,
     dense_output: bool = False,
-    window: int = 1024,
+    window: int | None = None,
     return_window_ok: bool = False,
 ) -> jnp.ndarray:
     """Device QC with one-hot segment reductions instead of scatters.
@@ -582,6 +582,14 @@ def qc_filter_masks_fused(
     overflow case.
     """
     from classpose_tpu.dynamics.flows import _diffuse_dyn, grad_from_T
+
+    if window is None:
+        # every sweep's work is linear in the window width; one 8192-px
+        # chunk is 8 image rows at 1024², whose dense-rank spread even at
+        # pathological 4k-cells/tile densities stays well under 512 (the
+        # window_ok guard still catches violations and falls back to the
+        # scatter QC). CLASSPOSE_QC_WINDOW overrides for A/B.
+        window = int(os.environ.get("CLASSPOSE_QC_WINDOW", "512"))
 
     H, W = raw.shape
     HW = H * W

@@ -115,6 +115,12 @@ def build_parser() -> argparse.ArgumentParser:
         "strided percentile stats (changes results for thin/small "
         "instances near the flow threshold).",
     )
+    parser.add_argument(
+        "--progress", action="store_true", default=None,
+        help="Force the live progress line (tiles predicted / cells "
+        "detected / tiles/s); auto-enabled on a TTY, or via "
+        "CLASSPOSE_PROGRESS=1.",
+    )
     return parser
 
 

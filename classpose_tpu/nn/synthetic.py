@@ -162,3 +162,24 @@ def structured_params(
         bo[dominant_class * ps * ps:(dominant_class + 1) * ps * ps] = 5.0
 
     return {"params": params}
+
+
+def perturbed_structured_params(
+    cfg, amp: float = 0.02, seed: int = 0, **kw
+) -> dict:
+    """Structured params whose output DEPENDS ON THE INPUT: a small random
+    patch embed (std ``amp``) perturbs the token stream, so the decoded
+    field is the designed one plus an input-driven ripple. Cells stay
+    intact (flows ±5, prob ±6 vs ripple ≪ 1) but instance boundaries and
+    flow-error QC margins become sensitive to compute precision — the
+    workload for the bf16-vs-fp32 drift audit, where the plain structured
+    checkpoint would be trivially precision-independent (its blocks are
+    zero and every output is a constant decode of pos_embed)."""
+    out = structured_params(cfg, **kw)
+    rng = np.random.default_rng(seed)
+    pe = out["params"]["encoder"]["patch_embed"]
+    pe["kernel"] = (
+        rng.normal(size=pe["kernel"].shape) * amp
+    ).astype(np.float32)
+    pe["bias"] = np.zeros_like(pe["bias"])
+    return out

@@ -115,6 +115,11 @@ class DeviceWorker:
         self.n_tiles = 0
         self.n_invalid = 0
         self.infer_seconds = 0.0  # cumulative device-path time (§5.1 timers)
+        # live-progress + stage-attribution counters (reference streams
+        # tqdm bars off shared counters, predict_wsi.py:742-771):
+        self.n_done = 0           # tiles through the device path
+        self.n_cells_found = 0    # cells extracted so far (may lag)
+        self.post_seconds = 0.0   # cumulative host polygon CPU-seconds
         # two inference threads update infer_seconds concurrently
         self._stats_lock = threading.Lock()
 
@@ -160,6 +165,18 @@ class DeviceWorker:
         )
         self._rr = 0
 
+    def _timed_process_tile(self, *a, **kw):
+        """process_tile + stage counters (host polygon CPU-seconds, live
+        cell count) — the numbers behind both the progress bar and the
+        slide benchmark's host-scaling arithmetic."""
+        t0 = time.time()
+        cells, inv = process_tile(*a, **kw)
+        with self._stats_lock:
+            self.post_seconds += time.time() - t0
+            self.n_cells_found += len(cells)
+            self.n_done += 1
+        return cells, inv
+
     def _run_one(self, model, tile: np.ndarray, coords, out_size: int):
         t0 = time.time()
         masks, flows, class_masks, _ = self._eval(
@@ -173,7 +190,7 @@ class DeviceWorker:
             else None
         )
         return self._pool.submit(
-            process_tile,
+            self._timed_process_tile,
             masks[:out_size, :out_size],
             cm,
             (float(coords[0]), float(coords[1])),
@@ -277,7 +294,7 @@ class DeviceWorker:
         for (tile, coords, out_size), (masks, cm) in zip(items, results):
             futs.append(
                 self._pool.submit(
-                    process_tile,
+                    self._timed_process_tile,
                     masks[:out_size, :out_size],
                     cm[:out_size, :out_size] if self.labels is not None
                     else None,
@@ -313,6 +330,65 @@ class DeviceWorker:
             self._infer_pool.shutdown(wait=True)
         self._pool.shutdown(wait=True)
         return cells
+
+
+class ProgressReporter:
+    """Live tqdm-style progress off the shared pipeline counters —
+    matching the reference's UX of tqdm bars wired to manager counters
+    (reference predict_wsi.py:434-457: tiles queued; :742-771: predicted
+    tiles / detected / invalid cells). One daemon thread writes
+    carriage-return updates to stderr; enabled when stderr is a TTY or
+    CLASSPOSE_PROGRESS=1, silent otherwise (log lines still flow)."""
+
+    def __init__(self, worker, n_total: int | None, enabled=None):
+        import os
+        import sys
+
+        if enabled is None:
+            env = os.environ.get("CLASSPOSE_PROGRESS")
+            enabled = (
+                env == "1"
+                or (env != "0" and sys.stderr.isatty())
+            )
+        self.worker = worker
+        self.n_total = n_total
+        self.enabled = bool(enabled)
+        self._stop = threading.Event()
+        self._t0 = time.time()
+        self._thread = None
+
+    def _line(self) -> str:
+        w = self.worker
+        el = max(time.time() - self._t0, 1e-6)
+        total = f"/{self.n_total}" if self.n_total else ""
+        return (
+            f"\rtiles {w.n_done}{total} predicted "
+            f"({w.n_tiles} read) | {w.n_cells_found} cells "
+            f"({w.n_invalid} invalid) | {w.n_done / el:.2f} tiles/s "
+            f"| device {w.infer_seconds:.1f}s host {w.post_seconds:.1f}s"
+        )
+
+    def _run(self):
+        import sys
+
+        while not self._stop.wait(0.5):
+            print(self._line(), end="", file=sys.stderr, flush=True)
+
+    def __enter__(self):
+        if self.enabled:
+            self._thread = threading.Thread(target=self._run, daemon=True)
+            self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        import sys
+
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=2.0)
+        if self.enabled:
+            print(self._line(), file=sys.stderr, flush=True)
+        return False
 
 
 def infer_structure(model_path: str):
@@ -469,30 +545,39 @@ def main(args, model_override=None) -> dict:
 
     n_streamed = 0
     t_stream0 = time.time()
-    for tile, coords, out_size in loader.stream(tile_filter=tile_filter):
-        worker.submit(tile, coords, out_size)
-        n_streamed += 1
-        if n_streamed % 50 == 0:
-            logger.info(
-                "tiles: %d submitted (%.2f tiles/s, device %.1fs)",
-                n_streamed, n_streamed / (time.time() - t_stream0),
-                worker.infer_seconds,
-            )
-    t_stream = time.time() - t_stream0
-    logger.info("Processed %d tiles", n_streamed)
-    cells = worker.collect()
+    with ProgressReporter(
+        worker, len(getattr(loader, "coords", []) or []) or None,
+        enabled=getattr(args, "progress", None),
+    ):
+        for tile, coords, out_size in loader.stream(
+            tile_filter=tile_filter
+        ):
+            worker.submit(tile, coords, out_size)
+            n_streamed += 1
+            if n_streamed % 50 == 0:
+                logger.info(
+                    "tiles: %d submitted (%.2f tiles/s, device %.1fs)",
+                    n_streamed, n_streamed / (time.time() - t_stream0),
+                    worker.infer_seconds,
+                )
+        t_stream = time.time() - t_stream0
+        logger.info("Processed %d tiles", n_streamed)
+        cells = worker.collect()
     if profile_dir:
         import jax
 
         jax.profiler.stop_trace()
     logger.info(
         "Detected %d cells (%d invalid polygons dropped); stage timers: "
-        "read+infer %.1fs (device-path %.1fs)",
+        "read+infer %.1fs (device-path %.1fs, host polygons %.1fs)",
         len(cells), worker.n_invalid, t_stream, worker.infer_seconds,
+        worker.post_seconds,
     )
 
+    t_dedup0 = time.time()
     features = [to_geojson_polygon(c) for c in cells]
     features = deduplicate(features)
+    t_dedup = time.time() - t_dedup0
 
     # ------------------------------------------------------------- filters
     if roi_tree is not None:
@@ -635,6 +720,18 @@ def main(args, model_override=None) -> dict:
         "n_tiles": n_streamed,
         "seconds": dt,
         "features": features,
+        # per-stage attribution for benchmarks / host-scaling analysis:
+        # stream = read+submit wall (device work overlaps inside it);
+        # device = cumulative device-path seconds across infer threads;
+        # host_post = cumulative host polygon CPU-seconds across the
+        # post pool; dedup_and_geojson + tail are single-threaded host.
+        "stage_seconds": {
+            "stream": round(t_stream, 3),
+            "device": round(worker.infer_seconds, 3),
+            "host_post": round(worker.post_seconds, 3),
+            "dedup_and_geojson": round(t_dedup, 3),
+            "tail": round(dt - t_stream - t_dedup, 3),
+        },
     }
 
 

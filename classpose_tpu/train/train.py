@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import time
+from functools import partial
 from pathlib import Path
 from typing import Any
 
@@ -130,7 +131,12 @@ def make_train_step(
         )
         return total, (seg, ce, tv)
 
-    @jax.jit
+    # donate the train state: params + optimizer moments alone are ~3.6 GB
+    # fp32 for ViT-L; without donation XLA double-buffers them across the
+    # step (old and new live simultaneously), which halves the usable HBM
+    # for activations. The trainer rebinds every donated argument from the
+    # step's outputs, so the old buffers are never touched again.
+    @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
     def train_step(params, log_var, opt_state, key, X, lbl):
         key, sub = jax.random.split(key)
         (total, (seg, ce, tv)), grads = jax.value_and_grad(

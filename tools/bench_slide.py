@@ -56,12 +56,30 @@ def main():
     ap.add_argument("--batch_size", type=int, default=32)
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model + fp32 (plumbing smoke test)")
-    ap.add_argument("--checkpoint", default=None,
-                    help="model .npz — use tools/make_bench_ckpt.py's "
-                    "structured checkpoint for an honest full-load run "
-                    "(~1k instances/tile, QC horizon 64, real host "
-                    "polygon/dedup work)")
+    ap.add_argument(
+        "--checkpoint",
+        default=os.path.expanduser(
+            "~/.cache/classpose_tpu/bench_ckpt.npz"
+        ),
+        help="model .npz (default: the structured bench checkpoint, "
+        "built on demand — ~1k instances/tile, QC horizon 64, real "
+        "host polygon/dedup work; pass '' for a random init, which "
+        "measures the zero-cell floor and is NOT an honest load)")
+    ap.add_argument("--host-vcpus", type=int, default=224,
+                    help="vCPU count assumed for the v5e-8 host in the "
+                    "projection (GCE ct5lp-hightpu-8t: 224)")
     args = ap.parse_args()
+
+    if args.checkpoint and not os.path.exists(args.checkpoint):
+        from classpose_tpu.nn import ClassTransformerConfig as _Cfg
+        from classpose_tpu.nn.convert import save_params
+        from classpose_tpu.nn.synthetic import structured_params
+
+        Path(args.checkpoint).parent.mkdir(parents=True, exist_ok=True)
+        bcfg = _Cfg(n_cell_classes=6, dtype="float32")
+        save_params(structured_params(bcfg), args.checkpoint, bcfg)
+        print(f"built structured checkpoint at {args.checkpoint}",
+              flush=True)
 
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
@@ -127,21 +145,63 @@ def main():
     result = pipeline_main(run_args, model_override=model)
     wall = time.time() - t0
 
-    n_tiles = result.get("n_tiles")
+    n_tiles = result.get("n_tiles") or 0
+    n_cells = result.get("n_cells") or 0
     minutes = wall / 60.0
-    # projection to the 100k×100k v5e-8 north star: tiles scale with
-    # area; 8 chips split the device work (the host pipeline overlaps)
+    stages = result.get("stage_seconds", {})
+
+    # ---- projection to the 100k×100k v5e-8 north star, with the
+    # arithmetic written out per resource (VERDICT r3 item 2 — a v5e-8
+    # has 8 chips but ONE host, so only device work divides by 8):
+    #
+    #   tiles scale with slide area:    S = (100000/size)²
+    #   device:  measured device-path seconds × S / 8 chips
+    #   host polygons: measured single-thread cells/s; the v5e-8 host
+    #     (GCE ct5lp-hightpu-8t, --host-vcpus, default 224) runs the
+    #     post pool wide, assumed to scale to min(32, vcpus) workers —
+    #     process_tile is embarrassingly parallel per tile (this 1-vCPU
+    #     bench host cannot demonstrate that scaling; the assumption is
+    #     stated, not measured)
+    #   read+decode: host-side too, same pool scaling assumption, and
+    #     overlapped with device work by the pipeline; counted inside
+    #     the host term via the measured stream wall minus device wall
+    #   dedup + exports: single-threaded tail, scales with cell count
+    #
+    #   projected = max(device_scaled, host_scaled) + tail_scaled
+    #   (device and host overlap in the pipeline; the slower one binds)
     scale = (100_000 / args.size) ** 2
-    proj_min = minutes * scale / 8.0
+    host_workers = max(1, min(32, args.host_vcpus))
+    dev_s = stages.get("device", wall)
+    post_s = stages.get("host_post", 0.0)
+    read_s = max(stages.get("stream", 0.0) - dev_s, 0.0)
+    tail_s = stages.get("dedup_and_geojson", 0.0) + max(
+        stages.get("tail", 0.0), 0.0
+    )
+    device_scaled = dev_s * scale / 8.0
+    host_scaled = (post_s + read_s) * scale / host_workers
+    tail_scaled = tail_s * scale  # single-threaded, scales with cells
+    proj_s = max(device_scaled, host_scaled) + tail_scaled
     report = {
         "slide_px": args.size,
         "slide_gb": round(os.path.getsize(slide_path) / 1e9, 2),
         "n_tiles": n_tiles,
-        "n_cells": result.get("n_cells"),
+        "n_cells": n_cells,
         "wall_minutes": round(minutes, 2),
-        "tiles_per_sec": round((n_tiles or 0) / wall, 3),
+        "tiles_per_sec": round(n_tiles / wall, 3),
         "pipeline_seconds": round(result.get("seconds", 0.0), 1),
-        "projected_100k_v5e8_minutes": round(proj_min, 1),
+        "stage_seconds": stages,
+        "host_polygon_cells_per_sec": round(
+            n_cells / post_s, 1
+        ) if post_s > 0 else None,
+        "projection": {
+            "area_scale": round(scale, 3),
+            "device_s_x_scale_over_8chips": round(device_scaled, 1),
+            "host_s_x_scale_over_workers": round(host_scaled, 1),
+            "assumed_host_workers": host_workers,
+            "serial_tail_s_x_scale": round(tail_scaled, 1),
+            "model": "max(device, host) + tail",
+        },
+        "projected_100k_v5e8_minutes": round(proj_s / 60.0, 1),
     }
     (out / "bench_slide.json").write_text(json.dumps(report, indent=2))
     print(json.dumps(report))

@@ -241,6 +241,59 @@ def flash_attention_relpos_blc(
     )
 
 
+def _attn_core_ref(qkv, rel, scale, grid_hw, n):
+    """Pure-XLA math of the blc kernel on the SAME operand layouts
+    (qkv (B, L, 3·n·hd), rel (B, L, n, H+W)) — the differentiable
+    reference used by the kernel's custom_vjp backward."""
+    B, L, C3 = qkv.shape
+    hd = C3 // (3 * n)
+    H, W = grid_hw
+    q = qkv[..., : n * hd].reshape(B, L, n, hd)
+    k = qkv[..., n * hd : 2 * n * hd].reshape(B, L, n, hd)
+    v = qkv[..., 2 * n * hd :].reshape(B, L, n, hd)
+    q, k, v = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))  # (B, n, L, hd)
+    rh = jnp.swapaxes(rel[..., :H], 1, 2)  # (B, n, L, H)
+    rw = jnp.swapaxes(rel[..., H:], 1, 2)  # (B, n, L, W)
+    out = attention_reference(q, k, v, rh, rw, scale)  # (B, n, L, hd)
+    return jnp.swapaxes(out, 1, 2).reshape(B, L, n * hd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _attn_core(qkv, rel, scale, grid_hw, num_heads, fused_bias,
+               interpret):
+    """Differentiable wrapper: Pallas forward, XLA-reference backward.
+
+    pallas_call has no autodiff rule, which made the bf16 TPU TRAINING
+    path fail at jax.grad (tools/bench_train.py caught it in r4). The
+    backward here recomputes attention with the plain-XLA math on the
+    saved (qkv, rel) operands and pulls the cotangent through jax.vjp —
+    the same L×L materialization the reference's torch SDPA-with-attn-
+    mask backward performs, so training memory matches expectations
+    while inference keeps the zero-HBM-intermediate kernel."""
+    return _attn_pallas(qkv, rel, scale, grid_hw, num_heads, fused_bias,
+                        interpret)
+
+
+def _attn_core_fwd(qkv, rel, scale, grid_hw, num_heads, fused_bias,
+                   interpret):
+    out = _attn_pallas(qkv, rel, scale, grid_hw, num_heads, fused_bias,
+                       interpret)
+    return out, (qkv, rel)
+
+
+def _attn_core_bwd(scale, grid_hw, num_heads, fused_bias, interpret,
+                   res, g):
+    qkv, rel = res
+    _, vjp = jax.vjp(
+        lambda a, r: _attn_core_ref(a, r, scale, grid_hw, num_heads),
+        qkv, rel,
+    )
+    return vjp(g.reshape(qkv.shape[0], qkv.shape[1], -1))
+
+
+_attn_core.defvjp(_attn_core_fwd, _attn_core_bwd)
+
+
 @partial(jax.jit, static_argnames=("scale", "grid_hw", "interpret",
                                    "num_heads", "fused_bias"))
 def _flash_attention_relpos_blc(
@@ -273,13 +326,7 @@ def _flash_attention_relpos_blc(
         hd = C3 // (3 * n)
     H, W = grid_hw
     assert L == H * W, (L, H, W)
-    pair = max(1, 128 // hd)
-    assert n % pair == 0 and (hd * pair) % 128 == 0, (n, hd)
-    np_blk = n // pair          # number of head-pair blocks
-    bw = hd * pair              # qkv block width (128 for hd=64)
-    nh = (n * hd) // bw         # blocks per q/k/v section
 
-    qkv2 = qkv
     # rel layout: per head [rel_h | rel_w] (H+W wide), heads consecutive —
     # a pair block is pair·(H+W) wide (=128 for the SAM 32×32 grid).
     # With rel_w=None the caller already produced that layout (one
@@ -287,14 +334,30 @@ def _flash_attention_relpos_blc(
     # copies cost ~2 ms/layer at production size — is skipped.
     if rel_w is None:
         assert rel_h.shape[-1] == H + W, rel_h.shape
-        rel = rel_h.reshape(B, L, n * (H + W))
+        rel = rel_h
     else:
-        rel = jnp.concatenate([rel_h, rel_w], axis=-1).reshape(
-            B, L, n * (H + W)
-        )
+        rel = jnp.concatenate([rel_h, rel_w], axis=-1)
+
+    out = _attn_core(qkv, rel, scale, (H, W), n, fused_bias, interpret)
+    return out.reshape(B, L, n, hd)
+
+
+def _attn_pallas(qkv, rel, scale, grid_hw, num_heads, fused_bias,
+                 interpret):
+    """The pallas_call itself: qkv (B, L, 3·n·hd), rel (B, L, n, H+W)."""
+    B, L, C3 = qkv.shape
+    n = num_heads
+    hd = C3 // (3 * n)
+    H, W = grid_hw
+    pair = max(1, 128 // hd)
+    assert n % pair == 0 and (hd * pair) % 128 == 0, (n, hd)
+    np_blk = n // pair          # number of head-pair blocks
+    bw = hd * pair              # qkv block width (128 for hd=64)
+    nh = (n * hd) // bw         # blocks per q/k/v section
+    rel = rel.reshape(B, L, n * (H + W))
     rw_blk = pair * (H + W)
 
-    out = pl.pallas_call(
+    return pl.pallas_call(
         partial(_attn_kernel_blc, scale=scale, hd=hd, grid_h=H, grid_w=W,
                 fused_bias=fused_bias),
         out_shape=jax.ShapeDtypeStruct((B, L, n * hd), qkv.dtype),
@@ -315,8 +378,7 @@ def _flash_attention_relpos_blc(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(qkv2, qkv2, qkv2, rel)
-    return out.reshape(B, L, n, hd)
+    )(qkv, qkv, qkv, rel)
 
 
 def attention_reference(q, k, v, rel_h, rel_w, scale):

@@ -195,3 +195,45 @@ def test_rel_token_modes_agree_through_vit_block():
     # and (trivially) that no mode crashes on the CPU backend
     np.testing.assert_array_equal(outs["0"], outs["1"])
     np.testing.assert_array_equal(outs["0"], outs["cat"])
+
+
+def test_blc_kernel_is_differentiable():
+    """pallas_call has no autodiff rule; the kernel's custom_vjp (Pallas
+    forward, XLA-reference backward) must make jax.grad work — the bf16
+    TPU training path differentiates through this kernel — and the
+    gradients must equal differentiating the plain XLA reference math."""
+    import jax
+
+    rng = np.random.default_rng(2)
+    qkv5 = jnp.asarray(rng.normal(size=(B, L, 3, n, hd)), jnp.float32)
+    rel_h = jnp.asarray(rng.normal(size=(B, L, n, H)) * 0.5, jnp.float32)
+    rel_w = jnp.asarray(rng.normal(size=(B, L, n, W)) * 0.5, jnp.float32)
+    qkv3 = qkv5.reshape(B, L, 3 * n * hd)
+
+    def loss_kernel(a, rh, rw):
+        out = flash_attention_relpos_blc(
+            a, rh, rw, hd**-0.5, grid_hw=(H, W), interpret=True,
+            num_heads=n,
+        )
+        return jnp.sum(out * out)
+
+    def loss_ref(a, rh, rw):
+        q, k, v = [
+            jnp.swapaxes(
+                a[..., j * n * hd:(j + 1) * n * hd].reshape(B, L, n, hd),
+                1, 2,
+            )
+            for j in range(3)
+        ]
+        out = attention_reference(
+            q, k, v, jnp.swapaxes(rh, 1, 2), jnp.swapaxes(rw, 1, 2),
+            hd**-0.5,
+        )
+        return jnp.sum(out * out)
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(qkv3, rel_h, rel_w)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(qkv3, rel_h, rel_w)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-3, rtol=5e-3
+        )

@@ -17,7 +17,7 @@ import json
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--tiles", type=int, default=4)
+    ap.add_argument("--tiles", type=int, default=2)
     ap.add_argument("--amp", type=float, default=0.02)
     ap.add_argument("--niter", type=int, default=200)
     args = ap.parse_args()
@@ -47,8 +47,12 @@ def main():
     for name, cfg, prec in (("fp32", cfg32, "fp32"),
                             ("bf16", cfg16, "bf16")):
         model = ClassposeModel(cfg=cfg, precision=prec, params=params)
+        # fp32 takes the XLA attention path, which materializes the
+        # (chunk, heads, L, L) f32 bias — chunk 4 keeps it ~0.5 GB/tile;
+        # bf16 runs the VMEM-resident Pallas kernel at the full grid
         out = model.eval_batch(
-            tiles, batch_size=32, niter=args.niter
+            tiles, batch_size=4 if prec == "fp32" else 32,
+            niter=args.niter,
         )
         results[name] = out
         n = sum(int(m.max()) for m, _ in out)

@@ -350,6 +350,15 @@ def _attn_pallas(qkv, rel, scale, grid_hw, num_heads, fused_bias,
     hd = C3 // (3 * n)
     H, W = grid_hw
     pair = max(1, 128 // hd)
+    # wider head blocks (CLASSPOSE_ATTN_PAIR=4/8) process more heads per
+    # grid cell: fewer pipeline bubbles and more independent MXU/VPU
+    # chains for Mosaic to overlap, at the cost of more VMEM — A/B'd on
+    # hardware via tools/attn_micro.py before changing the default
+    import os as _os
+
+    _p = _os.environ.get("CLASSPOSE_ATTN_PAIR")
+    if _p and int(_p) >= pair and n % int(_p) == 0:
+        pair = int(_p)
     assert n % pair == 0 and (hd * pair) % 128 == 0, (n, hd)
     np_blk = n // pair          # number of head-pair blocks
     bw = hd * pair              # qkv block width (128 for hd=64)

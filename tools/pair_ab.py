@@ -1,0 +1,74 @@
+"""TPU A/B of the attention kernel's head-block width on the full ViT
+forward: CLASSPOSE_ATTN_PAIR=2 (default) vs 4 vs 8, interleaved wall
+medians + output delta."""
+
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from classpose_tpu.nn import ClassTransformerConfig
+    from classpose_tpu.parallel.mesh import enable_compilation_cache
+    from classpose_tpu.runner import ClassposeModel
+
+    enable_compilation_cache()
+    cfg = ClassTransformerConfig(n_cell_classes=6, dtype="bfloat16")
+    model = ClassposeModel(cfg=cfg, precision="bf16")
+
+    rng = np.random.default_rng(0)
+    tiles = jnp.asarray(
+        rng.normal(size=(4, 25, 3, 256, 256)).astype(np.float32),
+        jnp.bfloat16,
+    )
+
+    variants = [("pair2", "2"), ("pair4", "4"), ("pair8", "8")]
+    fns, outs = {}, {}
+    for name, v in variants:
+        os.environ["CLASSPOSE_ATTN_PAIR"] = v
+        jax.clear_caches()
+
+        @jax.jit
+        def fwd(t):
+            def one(chunk):
+                y, _ = model._apply(chunk)
+                return y
+            return jax.vmap(one)(t)
+
+        def run(fwd=fwd):
+            r = fwd(tiles)
+            np.asarray(r[0, 0, 0, 0, :8])
+            return r
+
+        outs[name] = np.asarray(run().astype(jnp.float32))
+        fns[name] = run
+
+    print(
+        "max|delta| pair4 vs pair2:",
+        float(np.abs(outs["pair4"] - outs["pair2"]).max()),
+        "pair8 vs pair2:",
+        float(np.abs(outs["pair8"] - outs["pair2"]).max()),
+        flush=True,
+    )
+    # re-prime each variant under its own env (clear_caches above wiped
+    # earlier traces)
+    for name, v in variants:
+        os.environ["CLASSPOSE_ATTN_PAIR"] = v
+        fns[name]()
+    os.environ.pop("CLASSPOSE_ATTN_PAIR", None)
+
+    times = {k: [] for k in fns}
+    for _ in range(7):
+        for name, f in fns.items():
+            t0 = time.time()
+            f()
+            times[name].append(time.time() - t0)
+    for name, ts in times.items():
+        print(f"{name}: {np.median(ts) * 1e3:7.0f} ms wall")
+
+
+if __name__ == "__main__":
+    main()

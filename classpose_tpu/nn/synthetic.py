@@ -165,21 +165,33 @@ def structured_params(
 
 
 def perturbed_structured_params(
-    cfg, amp: float = 0.02, seed: int = 0, **kw
+    cfg, ripple: float = 0.5, seed: int = 0, **kw
 ) -> dict:
     """Structured params whose output DEPENDS ON THE INPUT: a small random
-    patch embed (std ``amp``) perturbs the token stream, so the decoded
-    field is the designed one plus an input-driven ripple. Cells stay
-    intact (flows ±5, prob ±6 vs ripple ≪ 1) but instance boundaries and
+    patch embed perturbs the token stream, so the decoded field is the
+    designed one plus an input-driven ripple of std ≈ ``ripple``
+    DECODED-FIELD units (flows are ±5, cellprob ±6, so the default 0.5
+    is a ~10% wobble). Cells stay intact but instance boundaries and
     flow-error QC margins become sensitive to compute precision — the
     workload for the bf16-vs-fp32 drift audit, where the plain structured
     checkpoint would be trivially precision-independent (its blocks are
-    zero and every output is a constant decode of pos_embed)."""
+    zero and every output is a constant decode of pos_embed).
+
+    The kernel std is derived per config: the decoder multiplies token
+    channels by √C (the ``out`` kernel diagonal), and a patch conv over
+    ``fan_in = 3·ps²`` taps of percentile-normalized input (E[x²]≈1/3)
+    amplifies a std-``a`` kernel to token ripple ``a·√(fan_in/3)`` — so
+    ``a = ripple / (√C · √(fan_in/3))`` lands the target regardless of
+    geometry (a fixed raw std that perturbs a tiny config mildly WIPES
+    OUT the full ViT-L, whose √C is ~3x larger)."""
     out = structured_params(cfg, **kw)
     rng = np.random.default_rng(seed)
     pe = out["params"]["encoder"]["patch_embed"]
+    sqrtC = float(out["params"]["out"]["kernel"][0, 0, 0, 0])
+    fan_in = 3 * cfg.ps * cfg.ps
+    a = ripple / (sqrtC * np.sqrt(fan_in / 3.0))
     pe["kernel"] = (
-        rng.normal(size=pe["kernel"].shape) * amp
+        rng.normal(size=pe["kernel"].shape) * a
     ).astype(np.float32)
     pe["bias"] = np.zeros_like(pe["bias"])
     return out

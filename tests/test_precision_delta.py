@@ -27,7 +27,7 @@ CFG = dict(
 @pytest.fixture(scope="module")
 def drift_results():
     cfg32 = ClassTransformerConfig(dtype="float32", **CFG)
-    params = perturbed_structured_params(cfg32, amp=0.02, seed=0)
+    params = perturbed_structured_params(cfg32, ripple=0.5, seed=0)
     cfg16 = ClassTransformerConfig(dtype="bfloat16", **CFG)
 
     rng = np.random.default_rng(1)

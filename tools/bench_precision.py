@@ -18,7 +18,9 @@ import json
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiles", type=int, default=2)
-    ap.add_argument("--amp", type=float, default=0.02)
+    ap.add_argument("--ripple", type=float, default=0.5,
+                    help="input-driven field wobble in decoded units "
+                    "(flows are +-5)")
     ap.add_argument("--niter", type=int, default=200)
     args = ap.parse_args()
 
@@ -35,7 +37,8 @@ def main():
 
     enable_compilation_cache()
     cfg32 = ClassTransformerConfig(n_cell_classes=6, dtype="float32")
-    params = perturbed_structured_params(cfg32, amp=args.amp, seed=0)
+    params = perturbed_structured_params(cfg32, ripple=args.ripple,
+                                         seed=0)
     cfg16 = ClassTransformerConfig(n_cell_classes=6, dtype="bfloat16")
 
     rng = np.random.default_rng(1)
@@ -66,7 +69,7 @@ def main():
     agg = aggregate_agreement(per_tile)
     print(json.dumps({
         "metric": "bf16_vs_fp32_drift",
-        "amp": args.amp,
+        "ripple": args.ripple,
         "per_tile": per_tile,
         "aggregate": agg,
     }, default=float))

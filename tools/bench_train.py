@@ -101,7 +101,11 @@ def main():
                       * lbl[:, 1:2])
         lbl = jnp.asarray(lbl)
 
-        p = jax.tree_util.tree_map(jnp.asarray, params)
+        # deep-copy: the donated step consumes its param buffers, and
+        # jnp.asarray would alias the template tree across batch sizes
+        p = jax.tree_util.tree_map(
+            lambda x: jnp.array(x, copy=True), params
+        )
         lv = jnp.zeros(3, jnp.float32)
         st = split_tx().init((p, lv))
         key = jax.random.PRNGKey(0)

@@ -385,6 +385,13 @@ def _attn_pallas(qkv, rel, scale, grid_hw, num_heads, fused_bias,
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            # wider head blocks scale the kernel's stack (scores/bias
+            # tiles per head) past Mosaic's default 16 MB scoped-VMEM
+            # limit (pair=4 measured 18.7 MB); v5e has 128 MB VMEM, so
+            # raise the per-kernel limit proportionally
+            vmem_limit_bytes=(
+                None if pair <= 2 else (pair // 2) * 16 * 1024 * 1024
+            ),
         ),
         interpret=interpret,
     )(qkv, qkv, qkv, rel)

@@ -50,22 +50,47 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# VMEM budget for stripe + working set (bytes); v5e has ~16 MB/core and
-# Mosaic needs slack for spills/temporaries
+# VMEM budgets for stripe + working set (bytes). The STRICT budget keeps
+# kernels inside Mosaic's default 16 MB scoped-VMEM limit; geometries
+# that don't fit it (e.g. W ≥ 1280 at the late composition bounds) get a
+# second chance against the EXTENDED budget with the per-kernel
+# ``vmem_limit_bytes`` raised to match — a v5e core has 128 MB of VMEM,
+# the 16 MB cap is just the compiler default. Without this, larger
+# production tiles fell off the Pallas path onto the XLA gather, whose
+# (N, 2, 2, 2) bilinear-footprint temp gets a 64x tile-padding blowup
+# (12.5 GB at 1280²x4 — an instant HBM OOM).
 _VMEM_BUDGET = 12 * 1024 * 1024
+_VMEM_BUDGET_EXT = 48 * 1024 * 1024
+_VMEM_LIMIT_EXT = 64 * 1024 * 1024
 
 
 def _pick_row_block(H: int, W: int, Dh: int, C: int = 2) -> int | None:
-    """Largest row block whose stripe + working set fits the VMEM budget."""
-    for R in (128, 64, 32, 16, 8):
-        if H % R or H < R + 2 * Dh:
-            continue
-        stripe = C * (R + 4 * Dh) * W * 4  # f32 scratch
-        rolled = stripe                    # dynamic-roll result
-        work = 8 * (2 * R * W * 4)         # Fd/prev/nxt/g/o/py/px/misc
-        if stripe + rolled + work <= _VMEM_BUDGET:
-            return R
+    """Largest row block whose stripe + working set fits a VMEM budget
+    (the strict default-limit one first, then the extended one)."""
+    for budget in (_VMEM_BUDGET, _VMEM_BUDGET_EXT):
+        for R in (128, 64, 32, 16, 8):
+            if H % R or H < R + 2 * Dh:
+                continue
+            if _kernel_vmem_bytes(R, W, Dh, C) <= budget:
+                return R
     return None
+
+
+def _kernel_vmem_bytes(R: int, W: int, Dh: int, C: int) -> int:
+    """Estimated kernel VMEM footprint: stripe scratch + its dynamic-roll
+    result + blocked I/O and loop temporaries."""
+    stripe = C * (R + 4 * Dh) * W * 4  # f32 scratch
+    rolled = stripe                    # dynamic-roll result
+    work = 8 * (2 * R * W * 4)         # Fd/prev/nxt/g/o/py/px/misc
+    return stripe + rolled + work
+
+
+def _vmem_limit(R: int, W: int, Dh: int, C: int) -> int | None:
+    """``vmem_limit_bytes`` for the pallas_call: None inside the default
+    16 MB Mosaic limit, the extended limit when the kernel needs more."""
+    if _kernel_vmem_bytes(R, W, Dh, C) <= _VMEM_BUDGET:
+        return None
+    return _VMEM_LIMIT_EXT
 
 
 def sampler_supported(H: int, W: int, D: int, C: int = 2) -> bool:
@@ -255,6 +280,7 @@ def shift_sample_pallas(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_vmem_limit(R, W, Dh, C),
         ),
         interpret=interpret,
     )(bounds, py, px, u)
@@ -436,6 +462,7 @@ def scatter_count_pallas(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_vmem_limit(R, W, Dh, C=3),
         ),
         interpret=interpret,
     )(bounds, u)

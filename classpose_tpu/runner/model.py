@@ -39,6 +39,27 @@ PRECISION_DTYPES = {"fp32": "float32", "bf16": "bfloat16", "fp16": "bfloat16"}
 QC_MAX_INSTANCES = 4096
 
 
+def qc_max_instances(tile_px: int) -> int:
+    """Instance ceiling of the one-hot QC, scaled to the tile area.
+
+    The sliding-window sweeps make the QC's pixel cost independent of K
+    (only the K-sized per-instance tables grow, which is noise), so
+    larger production tiles — where nuclei counts scale with area —
+    simply get more columns. Density basis: ~4000 nuclei/Mpx is the
+    densest real histology at 0.25 MPP (tumor sheets); rounded up to the
+    next power of two so the packed int16 readback's class/id bit split
+    (:func:`_pack_class_in_labels`) stays byte-aligned.
+
+    Capped at 8192: beyond that the packed class⋅id int16 readback
+    would need >13 id bits and fall back to a separate one-byte class
+    plane (+50% d2h bytes on EVERY tile) — a worse trade than routing
+    the rare >8191-instance tile through the scatter-QC redo."""
+    k = QC_MAX_INSTANCES
+    while k < 4000 * (tile_px / 1_048_576.0) and k < 8192:
+        k *= 2
+    return k
+
+
 def resolve_precision(precision: str) -> str:
     """Resolve a precision flag to a JAX dtype name (models.py:37-69)."""
     if precision not in PRECISION_DTYPES:
@@ -90,7 +111,15 @@ def convert_image_stack(x: np.ndarray) -> np.ndarray:
     return np.stack([convert_image(p) for p in x])
 
 
-def _pack_fused_outputs(class_pix, raw, n_inst, win_ok, ncls):
+def _id_bits(max_instances: int) -> int:
+    """Bits of the packed int16 readback that carry the instance id:
+    ids occupy the low bits (values ≤ max_instances − 1 after the host
+    redo threshold), the class plane the remaining high bits."""
+    return max(12, (int(max_instances) - 1).bit_length())
+
+
+def _pack_fused_outputs(class_pix, raw, n_inst, win_ok, ncls,
+                        max_instances=QC_MAX_INSTANCES):
     """Pack the fused eval_batch outputs into ONE (B, nbytes) uint8 buffer.
 
     The axon tunnel charges ~90 ms of round-trip latency PER device→host
@@ -112,12 +141,15 @@ def _pack_fused_outputs(class_pix, raw, n_inst, win_ok, ncls):
     import jax.numpy as jnp
 
     B = raw.shape[0]
-    pack_class = _pack_class_in_labels(raw.dtype == jnp.int16, ncls)
+    pack_class = _pack_class_in_labels(
+        raw.dtype == jnp.int16, ncls, max_instances
+    )
     nb = 2 if raw.dtype == jnp.int16 else 4
     r = raw.astype(jnp.int32).reshape(B, -1)
     if pack_class:
+        ib = _id_bits(max_instances)
         c = class_pix.astype(jnp.int32).reshape(B, -1)
-        r = (c << 12) | (r & 0xFFF)
+        r = (c << ib) | (r & ((1 << ib) - 1))
     # bytes INTERLEAVED per pixel (lo, hi, ...) = little-endian int16/32
     # memory layout, so the host unpack is a zero-copy .view() instead of
     # per-byte shift/or passes over the 1M-px planes (which measured
@@ -143,13 +175,19 @@ def _pack_fused_outputs(class_pix, raw, n_inst, win_ok, ncls):
     return jnp.concatenate(parts, axis=1)
 
 
-def _pack_class_in_labels(raw_int16: bool, ncls: int) -> bool:
+def _pack_class_in_labels(
+    raw_int16: bool, ncls: int, max_instances: int = QC_MAX_INSTANCES
+) -> bool:
     """True when the fused readback folds the class plane into the dense
-    int16 labels as (class << 12) | id — see :func:`_pack_fused_outputs`."""
-    return raw_int16 and 2 <= ncls <= 16
+    int16 labels as (class << id_bits) | id — see
+    :func:`_pack_fused_outputs`. Needs the class values (< ncls) to fit
+    the 16 − id_bits high bits; larger-K tiles with many classes fall
+    back to a separate one-byte class plane."""
+    return raw_int16 and 2 <= ncls <= (1 << (16 - _id_bits(max_instances)))
 
 
-def _unpack_fused_outputs(buf: np.ndarray, S: int, raw_int16: bool, ncls: int):
+def _unpack_fused_outputs(buf: np.ndarray, S: int, raw_int16: bool, ncls: int,
+                          max_instances: int = QC_MAX_INSTANCES):
     """Host-side inverse of :func:`_pack_fused_outputs` — views into the
     readback buffer (the little-endian byte interleave is done on
     device); the packed-class format adds one mask/shift pass over the
@@ -159,10 +197,11 @@ def _unpack_fused_outputs(buf: np.ndarray, S: int, raw_int16: bool, ncls: int):
     npx = S * S
     nb = 2 if raw_int16 else 4
     o = nb * npx
-    if _pack_class_in_labels(raw_int16, ncls):
+    if _pack_class_in_labels(raw_int16, ncls, max_instances):
+        ib = _id_bits(max_instances)
         v = buf[:, :o].view(np.uint16).reshape(B, S, S)
-        raw = (v & 0x0FFF).astype(np.int16)
-        class_pix = (v >> 12).astype(np.int8)
+        raw = (v & ((1 << ib) - 1)).astype(np.int16)
+        class_pix = (v >> ib).astype(np.int8)
     else:
         raw = (
             buf[:, :o]
@@ -913,19 +952,20 @@ class ClassposeModel:
             else jnp.asarray(tiles)
         )
         fn, raw_int16 = self._runners[key]
+        qc_k = qc_max_instances(S * S)
         # ONE packed uint8 buffer = one device→host round trip (the
         # tunnel charges ~90 ms latency per fetch; see _pack_fused_outputs)
         buf = np.asarray(fn(xt))
         class_pix, raw, n_inst, win_ok = _unpack_fused_outputs(
-            buf, S, raw_int16, self.nclasses
+            buf, S, raw_int16, self.nclasses, qc_k
         )
 
-        # packed-class tiles wrap ids above 12 bits, so they must redo at
-        # ≥4096 instances (vs > K for the plain dense format)
+        # packed-class tiles wrap ids above the id-bit budget, so they
+        # must redo at ≥ K instances (vs > K for the plain dense format)
         inst_limit = (
-            QC_MAX_INSTANCES - 1
-            if _pack_class_in_labels(raw_int16, self.nclasses)
-            else QC_MAX_INSTANCES
+            qc_k - 1
+            if _pack_class_in_labels(raw_int16, self.nclasses, qc_k)
+            else qc_k
         )
         out = []
         for i in range(B0):
@@ -940,7 +980,7 @@ class ClassposeModel:
                     "tile %d has %d instances (max_instances=%d, "
                     "window_ok=%s): re-running with the unbounded "
                     "scatter QC",
-                    i, int(n_inst[i]), QC_MAX_INSTANCES, bool(win_ok[i]),
+                    i, int(n_inst[i]), qc_k, bool(win_ok[i]),
                 )
                 out.append(
                     self._eval_batch_fused(
@@ -1085,7 +1125,7 @@ class ClassposeModel:
                     lambda r, d: qc_filter_masks_fused(
                         r, d, flow_threshold=flow_threshold,
                         max_size_fraction=max_size_fraction,
-                        max_instances=QC_MAX_INSTANCES,
+                        max_instances=qc_max_instances(S * S),
                         dense_output=True,
                         return_window_ok=True,
                     )
@@ -1099,7 +1139,8 @@ class ClassposeModel:
                 )(raw, dP)
                 win_ok = jnp.ones(raw.shape[0], bool)
             return _pack_fused_outputs(
-                class_pix, raw, n_inst, win_ok, ncls
+                class_pix, raw, n_inst, win_ok, ncls,
+                max_instances=qc_max_instances(S * S),
             )
 
         return jax.jit(batched), qc_onehot

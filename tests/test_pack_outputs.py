@@ -7,7 +7,7 @@ import numpy as np
 import jax.numpy as jnp
 
 
-def _roundtrip(raw, class_pix, n_inst, win_ok, ncls):
+def _roundtrip(raw, class_pix, n_inst, win_ok, ncls, max_instances=4096):
     from classpose_tpu.runner.model import (
         _pack_fused_outputs,
         _unpack_fused_outputs,
@@ -16,11 +16,11 @@ def _roundtrip(raw, class_pix, n_inst, win_ok, ncls):
     buf = np.asarray(
         _pack_fused_outputs(
             jnp.asarray(class_pix), jnp.asarray(raw), jnp.asarray(n_inst),
-            jnp.asarray(win_ok), ncls,
+            jnp.asarray(win_ok), ncls, max_instances=max_instances,
         )
     )
     return _unpack_fused_outputs(
-        buf, raw.shape[1], raw.dtype == np.int16, ncls
+        buf, raw.shape[1], raw.dtype == np.int16, ncls, max_instances
     )
 
 
@@ -53,6 +53,35 @@ def test_packed_class_16way_boundary():
     )
     np.testing.assert_array_equal(r, raw)
     np.testing.assert_array_equal(cp, cls)
+
+
+def test_qc_max_instances_scales_with_area():
+    """K grows with tile area (density basis 4000/Mpx) but stays capped
+    at 8192 so the packed int16 readback keeps ≥3 class bits."""
+    from classpose_tpu.runner.model import qc_max_instances
+
+    assert qc_max_instances(1024 * 1024) == 4096
+    assert qc_max_instances(1280 * 1280) == 8192
+    assert qc_max_instances(2560 * 2560) == 8192  # capped
+
+
+def test_packed_class_13bit_ids_roundtrip():
+    # K=8192 → 13 id bits, 3 class bits (ncls ≤ 8)
+    B, S, ncls = 1, 16, 6
+    raw = np.full((B, S, S), 8191, np.int16)
+    cls = np.full((B, S, S), ncls - 1, np.int8)
+    cp, r, _, _ = _roundtrip(
+        raw, cls, np.array([8191], np.int32), np.array([True]), ncls,
+        max_instances=8192,
+    )
+    np.testing.assert_array_equal(r, raw)
+    np.testing.assert_array_equal(cp, cls)
+    from classpose_tpu.runner.model import _pack_class_in_labels
+
+    assert _pack_class_in_labels(True, 6, 8192)
+    # 13 id bits leave only 3 class bits — 16-class models fall back to
+    # the separate class plane at K=8192
+    assert not _pack_class_in_labels(True, 16, 8192)
 
 
 def test_plain_int16_single_class():

@@ -167,3 +167,71 @@ def test_get_masks_batched_pallas_matches_xla(monkeypatch, return_seeds):
     else:
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(pal))
         assert len(np.unique(np.asarray(ref))) == 4  # 3 instances + bg
+
+
+def test_extended_vmem_budget_geometries():
+    """Production tile widths past 1024 need the extended VMEM budget at
+    the late composition bounds (D up to 146): the strict 16 MB-limit
+    budget rejects them, the extended one (with vmem_limit_bytes raised
+    on the pallas_call) admits them. Without this the sampler fell back
+    to the XLA gather whose padded bilinear-footprint temp is 12.5 GB at
+    1280²x4 — an instant HBM OOM (r4 geometry A/B)."""
+    from classpose_tpu.ops.sample_pallas import (
+        _VMEM_BUDGET,
+        _kernel_vmem_bytes,
+        _pick_row_block,
+        _vmem_limit,
+    )
+
+    for Wt in (1280, 1920, 2560):
+        assert sampler_supported(Wt, Wt, 146, 2), Wt
+        assert sampler_supported(Wt, Wt, 146, 3), Wt
+    # 1024 keeps its strict-budget behavior (default Mosaic limit)
+    Dh = -(-146 // 8) * 8
+    R1024 = _pick_row_block(1024, 1024, Dh, 2)
+    assert _kernel_vmem_bytes(R1024, 1024, Dh, 2) <= _VMEM_BUDGET
+    assert _vmem_limit(R1024, 1024, Dh, 2) is None
+    # 1280+ land in the extended band and get the raised limit
+    R1280 = _pick_row_block(1280, 1280, Dh, 2)
+    assert _vmem_limit(R1280, 1280, Dh, 2) is not None
+
+
+def test_shift_sample_extended_budget_correct():
+    """Interpret-mode correctness of a geometry that lands in the
+    EXTENDED VMEM band (H=312, W=1280, D=146 → R=8, ~13.3 MB estimate):
+    same bilinear math as every other geometry."""
+    from classpose_tpu.ops.sample_pallas import (
+        _VMEM_BUDGET,
+        _kernel_vmem_bytes,
+        _pick_row_block,
+    )
+
+    Ht, Wt, D = 312, 1280, 146
+    Dh = -(-D // 8) * 8
+    R = _pick_row_block(Ht, Wt, Dh, 2)
+    assert R is not None
+    assert _kernel_vmem_bytes(R, Wt, Dh, 2) > _VMEM_BUDGET  # extended band
+
+    rng = np.random.default_rng(3)
+    u = rng.normal(size=(1, 2, Ht, Wt)).astype(np.float32)
+    gy = np.arange(Ht, dtype=np.float32)[:, None] + np.zeros((1, Wt), np.float32)
+    gx = np.arange(Wt, dtype=np.float32)[None, :] + np.zeros((Ht, 1), np.float32)
+    py = np.clip(gy + rng.uniform(-2.5, 2.5, (Ht, Wt)), 0, Ht - 1).astype(np.float32)
+    px = np.clip(gx + rng.uniform(-2.5, 2.5, (Ht, Wt)), 0, Wt - 1).astype(np.float32)
+    out = np.asarray(
+        shift_sample_pallas(
+            jnp.asarray(u), jnp.asarray(py)[None], jnp.asarray(px)[None],
+            D=D, interpret=True,
+        )
+    )[0]
+    y0 = np.clip(np.floor(py), 0, Ht - 2).astype(np.int64)
+    x0 = np.clip(np.floor(px), 0, Wt - 2).astype(np.int64)
+    wy, wx = py - y0, px - x0
+    ref = np.stack([
+        u[0, c][y0, x0] * (1 - wy) * (1 - wx)
+        + u[0, c][y0, x0 + 1] * (1 - wy) * wx
+        + u[0, c][y0 + 1, x0] * wy * (1 - wx)
+        + u[0, c][y0 + 1, x0 + 1] * wy * wx
+        for c in range(2)
+    ])
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)

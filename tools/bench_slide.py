@@ -53,6 +53,7 @@ def main():
     ap.add_argument("--out", default="/tmp/slide_bench")
     ap.add_argument("--reuse", action="store_true")
     ap.add_argument("--tile_batch", type=int, default=4)
+    ap.add_argument("--tile_size", type=int, default=1024)
     ap.add_argument("--batch_size", type=int, default=32)
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model + fp32 (plumbing smoke test)")
@@ -116,7 +117,7 @@ def main():
         model_config="conic",  # labels/MPP only; model is injected
         slide_path=str(slide_path),
         output_folder=str(out / "results"),
-        tile_size=1024,
+        tile_size=args.tile_size,
         overlap=64,
         batch_size=args.batch_size,
         precision="bf16",
@@ -136,7 +137,9 @@ def main():
     # otherwise be billed to the slide)
     import numpy as np
 
-    warm = np.zeros((args.tile_batch, 1024, 1024, 3), np.uint8)
+    warm = np.zeros(
+        (args.tile_batch, args.tile_size, args.tile_size, 3), np.uint8
+    )
     t0 = time.time()
     model.eval_batch(warm, batch_size=args.batch_size, niter=200)
     print(f"warmup/compile: {time.time() - t0:.0f}s", flush=True)

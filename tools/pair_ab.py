@@ -43,21 +43,27 @@ def main():
             np.asarray(r[0, 0, 0, 0, :8])
             return r
 
-        outs[name] = np.asarray(run().astype(jnp.float32))
+        try:
+            outs[name] = np.asarray(run().astype(jnp.float32))
+        except Exception as exc:  # pair8 OOMs scoped VMEM on v5e
+            print(f"{name}: failed to compile/run "
+                  f"({str(exc)[:120]}) — skipped", flush=True)
+            continue
         fns[name] = run
 
-    print(
-        "max|delta| pair4 vs pair2:",
-        float(np.abs(outs["pair4"] - outs["pair2"]).max()),
-        "pair8 vs pair2:",
-        float(np.abs(outs["pair8"] - outs["pair2"]).max()),
-        flush=True,
-    )
+    for name in fns:
+        if name != "pair2" and "pair2" in outs:
+            print(
+                f"max|delta| {name} vs pair2:",
+                float(np.abs(outs[name] - outs["pair2"]).max()),
+                flush=True,
+            )
     # re-prime each variant under its own env (clear_caches above wiped
     # earlier traces)
     for name, v in variants:
-        os.environ["CLASSPOSE_ATTN_PAIR"] = v
-        fns[name]()
+        if name in fns:
+            os.environ["CLASSPOSE_ATTN_PAIR"] = v
+            fns[name]()
     os.environ.pop("CLASSPOSE_ATTN_PAIR", None)
 
     times = {k: [] for k in fns}

@@ -285,6 +285,18 @@ class MLPBlock(nn.Module):
         # f32 polynomial (in-context 24-layer micro: 325 -> 252 ms).
         # Same math: 0.5·x·(1 + erf(x/√2)); f32 erf differs from the
         # erfc route only below bf16 resolution.
+        #
+        # CLASSPOSE_GELU_BARRIER=1 pins a fusion boundary between the
+        # lin1 dot and the GELU: the r4 trace shows the dot+GELU output
+        # fusion at 5.03 ms/layer vs the dot's ~2.2 ms roofline — the
+        # VPU erf epilogue may be serializing the MXU. With the barrier
+        # the dot lands clean and the GELU becomes a separate
+        # bandwidth-bound pass (~1 ms/layer of HBM traffic). A/B'd on
+        # hardware (tools/bench_fwd_ab.py) before changing the default.
+        import os as _os
+
+        if _os.environ.get("CLASSPOSE_GELU_BARRIER", "0") == "1":
+            x = jax.lax.optimization_barrier(x)
         xf = x.astype(jnp.float32)
         x = (
             0.5 * xf * (1.0 + jax.lax.erf(xf * 0.7071067811865476))

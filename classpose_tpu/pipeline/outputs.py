@@ -10,6 +10,7 @@ area/perimeter/centroidX/centroidY measurements).
 from __future__ import annotations
 
 import json
+import os
 import uuid
 from pathlib import Path
 
@@ -138,19 +139,61 @@ def apply_bounds_offset_to_feature(
     return feature
 
 
-def write_feature_collection(features: list[dict], path: str | Path) -> None:
+_WRITE_FEATURES: list | None = None  # fork-pool COW handle (see below)
+
+
+def _serialize_batch(span: tuple[int, int]) -> str:
+    s, e = span
+    return json.dumps(_WRITE_FEATURES[s:e], separators=(",", ":"))[1:-1]
+
+
+def write_feature_collection(
+    features: list[dict], path: str | Path, workers: int | None = None
+) -> None:
     """Write a FeatureCollection, serializing features in 2000-feature
     json.dumps batches: ~3x faster than a single streaming json.dump at
     WSI cell counts (a 1M-cell slide's contours drop ~160 s → ~60 s)
-    with memory bounded per batch. Output is standard compact GeoJSON."""
+    with memory bounded per batch. Output is standard compact GeoJSON.
+
+    ``workers`` (default: env CLASSPOSE_WRITE_WORKERS, 0) > 1 serializes
+    batches on a fork-based process pool — children read ``features``
+    through copy-on-write memory, so only (start, end) index pairs are
+    pickled, and the parent writes the returned strings in order:
+    byte-identical to the serial path. json.dumps is C code that holds
+    the GIL, so threads cannot parallelize this; forking is safe for
+    this pure-CPU tail but is kept opt-in because forking a live TPU
+    process (axon tunnel client threads) is not (CLAUDE.md wedge
+    warning)."""
+    if workers is None:
+        workers = int(os.environ.get("CLASSPOSE_WRITE_WORKERS", "0"))
     B = 2000
+    spans = [(s, min(s + B, len(features)))
+             for s in range(0, len(features), B)]
     with open(path, "w") as f:
         f.write('{"type": "FeatureCollection", "features": [')
-        for s in range(0, len(features), B):
-            chunk = json.dumps(features[s : s + B], separators=(",", ":"))
-            if s:
-                f.write(",")
-            f.write(chunk[1:-1])
+        if workers and workers > 1 and len(spans) > 1:
+            import multiprocessing as mp
+
+            global _WRITE_FEATURES
+            _WRITE_FEATURES = features
+            try:
+                with mp.get_context("fork").Pool(workers) as pool:
+                    for i, chunk in enumerate(
+                        pool.imap(_serialize_batch, spans, chunksize=4)
+                    ):
+                        if i:
+                            f.write(",")
+                        f.write(chunk)
+            finally:
+                _WRITE_FEATURES = None
+        else:
+            for i, (s, e) in enumerate(spans):
+                chunk = json.dumps(
+                    features[s:e], separators=(",", ":")
+                )
+                if i:
+                    f.write(",")
+                f.write(chunk[1:-1])
         f.write("]}")
 
 

@@ -166,16 +166,21 @@ class DeviceWorker:
         self._rr = 0
 
     def _timed_process_tile(self, *a, **kw):
-        """process_tile + stage counters (host polygon CPU-seconds, live
-        cell count) — the numbers behind both the progress bar and the
-        slide benchmark's host-scaling arithmetic."""
+        """process_tile + GeoJSON feature conversion + stage counters
+        (host polygon CPU-seconds, live cell count) — the numbers behind
+        both the progress bar and the slide benchmark's host-scaling
+        arithmetic. Feature conversion happens HERE, in the post pool,
+        so it parallelizes per tile like the polygon extraction instead
+        of serializing after the drain (it was ~14 s of the 262k-cell
+        32k-slide benchmark's single-threaded tail)."""
         t0 = time.time()
         cells, inv = process_tile(*a, **kw)
+        feats = [to_geojson_polygon(c) for c in cells]
         with self._stats_lock:
             self.post_seconds += time.time() - t0
-            self.n_cells_found += len(cells)
+            self.n_cells_found += len(feats)
             self.n_done += 1
-        return cells, inv
+        return feats, inv
 
     def _run_one(self, model, tile: np.ndarray, coords, out_size: int):
         t0 = time.time()
@@ -562,22 +567,28 @@ def main(args, model_override=None) -> dict:
                 )
         t_stream = time.time() - t_stream0
         logger.info("Processed %d tiles", n_streamed)
-        cells = worker.collect()
+        # drain: in-flight device batches + post-pool futures finishing
+        # after the last submit — overlapped device/host work, NOT a
+        # serial tail (their costs are already in infer/post_seconds)
+        t_drain0 = time.time()
+        features = worker.collect()  # GeoJSON features (pooled convert)
+        t_drain = time.time() - t_drain0
     if profile_dir:
         import jax
 
         jax.profiler.stop_trace()
     logger.info(
         "Detected %d cells (%d invalid polygons dropped); stage timers: "
-        "read+infer %.1fs (device-path %.1fs, host polygons %.1fs)",
-        len(cells), worker.n_invalid, t_stream, worker.infer_seconds,
-        worker.post_seconds,
+        "read+infer %.1fs drain %.1fs (device-path %.1fs, host polygons "
+        "%.1fs)",
+        len(features), worker.n_invalid, t_stream, t_drain,
+        worker.infer_seconds, worker.post_seconds,
     )
 
     t_dedup0 = time.time()
-    features = [to_geojson_polygon(c) for c in cells]
     features = deduplicate(features)
     t_dedup = time.time() - t_dedup0
+    t_export0 = time.time()
 
     # ------------------------------------------------------------- filters
     if roi_tree is not None:
@@ -721,16 +732,22 @@ def main(args, model_override=None) -> dict:
         "seconds": dt,
         "features": features,
         # per-stage attribution for benchmarks / host-scaling analysis:
-        # stream = read+submit wall (device work overlaps inside it);
-        # device = cumulative device-path seconds across infer threads;
-        # host_post = cumulative host polygon CPU-seconds across the
-        # post pool; dedup_and_geojson + tail are single-threaded host.
+        # stream = read+submit wall and drain = post-submit finish wall —
+        # BOTH are walls over overlapped device+host work, not serial
+        # stages; device = cumulative seconds infer threads spend blocked
+        # on eval_batch (includes h2d/readback and both-threads-in-flight
+        # overlap, so it over-counts chip-serial time); host_post =
+        # cumulative polygon+feature-convert CPU-seconds across the post
+        # pool; dedup and export are the genuinely single-threaded tail
+        # (export = filters + centroid derivation + GeoJSON/CSV/zarr
+        # writes, which parallelize via CLASSPOSE_WRITE_WORKERS).
         "stage_seconds": {
             "stream": round(t_stream, 3),
+            "drain": round(t_drain, 3),
             "device": round(worker.infer_seconds, 3),
             "host_post": round(worker.post_seconds, 3),
-            "dedup_and_geojson": round(t_dedup, 3),
-            "tail": round(dt - t_stream - t_dedup, 3),
+            "dedup": round(t_dedup, 3),
+            "export": round(time.time() - t_export0, 3),
         },
     }
 

@@ -69,6 +69,15 @@ def main():
     ap.add_argument("--host-vcpus", type=int, default=224,
                     help="vCPU count assumed for the v5e-8 host in the "
                     "projection (GCE ct5lp-hightpu-8t: 224)")
+    ap.add_argument("--chip-tile-s", type=float, default=None,
+                    help="chip-serial seconds per 1024² tile for the "
+                    "projection's device term (default: 1/bench.py's "
+                    "latest median, 3.04 tiles/s — the two-in-flight "
+                    "eval_batch rate incl. transfers). The in-run "
+                    "'device' stage can NOT be used for this: it sums "
+                    "two infer threads' blocked-on-device wall, which "
+                    "double-counts overlap and includes tunnel-link "
+                    "transfer the real v5e-8 host does not pay.")
     args = ap.parse_args()
 
     if args.checkpoint and not os.path.exists(args.checkpoint):
@@ -157,33 +166,49 @@ def main():
     # arithmetic written out per resource (VERDICT r3 item 2 — a v5e-8
     # has 8 chips but ONE host, so only device work divides by 8):
     #
-    #   tiles scale with slide area:    S = (100000/size)²
-    #   device:  measured device-path seconds × S / 8 chips
-    #   host polygons: measured single-thread cells/s; the v5e-8 host
-    #     (GCE ct5lp-hightpu-8t, --host-vcpus, default 224) runs the
-    #     post pool wide, assumed to scale to min(32, vcpus) workers —
-    #     process_tile is embarrassingly parallel per tile (this 1-vCPU
-    #     bench host cannot demonstrate that scaling; the assumption is
-    #     stated, not measured)
-    #   read+decode: host-side too, same pool scaling assumption, and
-    #     overlapped with device work by the pipeline; counted inside
-    #     the host term via the measured stream wall minus device wall
-    #   dedup + exports: single-threaded tail, scales with cell count
+    #   area scale S = (100000/size)²; tiles AND cells scale with S
+    #   device: chip_tile_s × n_tiles × S / 8 chips. chip_tile_s is
+    #     bench.py's measured two-in-flight eval_batch rate (incl. this
+    #     tunnel's transfer costs → conservative vs a real local host).
+    #     The in-run "device" stage is NOT usable here: it sums two
+    #     infer threads' blocked wall (double-counts their overlap).
+    #   host polygons: the in-run host_post CPU-seconds (polygons +
+    #     GeoJSON feature conversion, pooled per tile) × S spread over
+    #     min(32, --host-vcpus) pool workers. host_post was measured on
+    #     THIS 1-vCPU host while competing with the device threads, so
+    #     the per-cell cost is inflated ~8x vs the solo microbench
+    #     (ROADMAP: 291 ms / 900-cell tile) — i.e. this term is an
+    #     upper bound. process_tile is embarrassingly parallel per
+    #     tile; the 1-vCPU host cannot demonstrate the pool scaling
+    #     (assumption stated, not measured).
+    #   read+decode: measured stream wall (which itself includes submit
+    #     backpressure → upper bound) × S over the same pool width.
+    #   export (filters, centroids, GeoJSON/CSV writes): × S over
+    #     min(8, workers) — serialization parallelizes byte-identically
+    #     via CLASSPOSE_WRITE_WORKERS (tests/test_write_parallel.py);
+    #     8 caps what concurrent writers plausibly sustain to one disk.
+    #   dedup: single-threaded KD-tree, scales with cells: × S.
     #
-    #   projected = max(device_scaled, host_scaled) + tail_scaled
-    #   (device and host overlap in the pipeline; the slower one binds)
+    #   projected = max(device, host, read) + export + dedup
+    #   (stream/post overlap device work in the pipeline; the slowest
+    #   binds. export+dedup run after the drain: genuinely serial.)
     scale = (100_000 / args.size) ** 2
     host_workers = max(1, min(32, args.host_vcpus))
-    dev_s = stages.get("device", wall)
+    write_workers = max(1, min(8, args.host_vcpus))
+    chip_tile_s = args.chip_tile_s or (1.0 / 3.04)
     post_s = stages.get("host_post", 0.0)
-    read_s = max(stages.get("stream", 0.0) - dev_s, 0.0)
-    tail_s = stages.get("dedup_and_geojson", 0.0) + max(
-        stages.get("tail", 0.0), 0.0
+    stream_s = stages.get("stream", 0.0)
+    dedup_s = stages.get("dedup", stages.get("dedup_and_geojson", 0.0))
+    export_s = stages.get("export", 0.0)
+    device_scaled = chip_tile_s * n_tiles * scale / 8.0
+    host_scaled = post_s * scale / host_workers
+    read_scaled = stream_s * scale / host_workers
+    export_scaled = export_s * scale / write_workers
+    dedup_scaled = dedup_s * scale
+    proj_s = (
+        max(device_scaled, host_scaled, read_scaled)
+        + export_scaled + dedup_scaled
     )
-    device_scaled = dev_s * scale / 8.0
-    host_scaled = (post_s + read_s) * scale / host_workers
-    tail_scaled = tail_s * scale  # single-threaded, scales with cells
-    proj_s = max(device_scaled, host_scaled) + tail_scaled
     report = {
         "slide_px": args.size,
         "slide_gb": round(os.path.getsize(slide_path) / 1e9, 2),
@@ -193,16 +218,19 @@ def main():
         "tiles_per_sec": round(n_tiles / wall, 3),
         "pipeline_seconds": round(result.get("seconds", 0.0), 1),
         "stage_seconds": stages,
-        "host_polygon_cells_per_sec": round(
+        "host_polygon_cells_per_sec_contended": round(
             n_cells / post_s, 1
         ) if post_s > 0 else None,
         "projection": {
             "area_scale": round(scale, 3),
-            "device_s_x_scale_over_8chips": round(device_scaled, 1),
-            "host_s_x_scale_over_workers": round(host_scaled, 1),
+            "chip_tile_s": round(chip_tile_s, 4),
+            "device_s": round(device_scaled, 1),
+            "host_post_s_over_workers": round(host_scaled, 1),
+            "read_s_over_workers": round(read_scaled, 1),
             "assumed_host_workers": host_workers,
-            "serial_tail_s_x_scale": round(tail_scaled, 1),
-            "model": "max(device, host) + tail",
+            "export_s_over_write_workers": round(export_scaled, 1),
+            "serial_dedup_s": round(dedup_scaled, 1),
+            "model": "max(device, host_post, read) + export + dedup",
         },
         "projected_100k_v5e8_minutes": round(proj_s / 60.0, 1),
     }

@@ -1,6 +1,7 @@
-"""TPU A/B of the attention kernel's head-block width on the full ViT
-forward: CLASSPOSE_ATTN_PAIR=2 (default) vs 4 vs 8, interleaved wall
-medians + output delta."""
+"""TPU A/B of round-4 forward knobs on the full ViT forward:
+attention head-block width CLASSPOSE_ATTN_PAIR=2 (default) vs 4 vs 8,
+and the lin1→GELU fusion barrier CLASSPOSE_GELU_BARRIER. Interleaved
+wall medians + output delta vs base."""
 
 import os
 import time
@@ -25,10 +26,23 @@ def main():
         jnp.bfloat16,
     )
 
-    variants = [("pair2", "2"), ("pair4", "4"), ("pair8", "8")]
+    KNOBS = ("CLASSPOSE_ATTN_PAIR", "CLASSPOSE_GELU_BARRIER")
+    variants = [
+        ("pair2", {"CLASSPOSE_ATTN_PAIR": "2"}),
+        ("pair4", {"CLASSPOSE_ATTN_PAIR": "4"}),
+        ("pair8", {"CLASSPOSE_ATTN_PAIR": "8"}),
+        ("gelu_barrier", {"CLASSPOSE_ATTN_PAIR": "2",
+                          "CLASSPOSE_GELU_BARRIER": "1"}),
+    ]
+
+    def set_env(env):
+        for k in KNOBS:
+            os.environ.pop(k, None)
+        os.environ.update(env)
+
     fns, outs = {}, {}
     for name, v in variants:
-        os.environ["CLASSPOSE_ATTN_PAIR"] = v
+        set_env(v)
         jax.clear_caches()
 
         @jax.jit
@@ -62,9 +76,10 @@ def main():
     # earlier traces)
     for name, v in variants:
         if name in fns:
-            os.environ["CLASSPOSE_ATTN_PAIR"] = v
+            set_env(v)
             fns[name]()
-    os.environ.pop("CLASSPOSE_ATTN_PAIR", None)
+    for k in KNOBS:
+        os.environ.pop(k, None)
 
     times = {k: [] for k in fns}
     for _ in range(7):

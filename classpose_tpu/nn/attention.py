@@ -117,7 +117,7 @@ def flash_attention_relpos(
 
 
 def _attn_kernel_blc(q_ref, k_ref, v_ref, rel_ref, o_ref, *, scale, hd,
-                     grid_h, grid_w, fused_bias=False):
+                     grid_h, grid_w, fused_bias=0):
     """Attention for a PAIR of heads whose q/k/v live side by side in one
     128-lane block sliced straight out of the (B, L, 3C) qkv tensor — the
     layout the qkv Dense naturally produces (a free reshape of
@@ -140,7 +140,17 @@ def _attn_kernel_blc(q_ref, k_ref, v_ref, rel_ref, o_ref, *, scale, hd,
     to the post-scaled fp32 dot; the bias columns are 0/1 selections.
     It also defers softmax normalization past the AV matmul: dividing
     the (L, hd) output by the row sums replaces dividing the (L, L)
-    probability matrix — L/hd = 16x less VPU division work."""
+    probability matrix — L/hd = 16x less VPU division work.
+
+    ``fused_bias=2`` ("onesum", CLASSPOSE_ATTN_V2=2) additionally moves
+    the softmax row-sum onto the MXU: the AV matmul's output tile is 128
+    lanes wide but v is only hd=64 — the other 64 lanes are padding the
+    systolic array computes for free. Multiplying p against [v | 1]
+    makes those lanes accumulate the row sums, deleting the VPU
+    cross-lane sum-reduce pass entirely (tools/attn_v3.py: 4.86 vs
+    5.28 ms/layer on the 100-crop batch, max|Δ| 3e-5 — the denominator
+    now sums the same bf16-rounded p the numerator uses, which is if
+    anything more self-consistent than the fp32 VPU sum)."""
     L = q_ref.shape[0]
     pair = q_ref.shape[1] // hd
     rel_step = rel_ref.shape[1] // pair  # = grid_h + grid_w per head
@@ -175,6 +185,15 @@ def _attn_kernel_blc(q_ref, k_ref, v_ref, rel_ref, o_ref, *, scale, hd,
             )  # (L, L)
             m = jnp.max(s, axis=1, keepdims=True)
             p32 = jnp.exp(s - m)
+            if fused_bias == 2 and hd < 128:
+                vx = jnp.concatenate(
+                    [v, jnp.ones((L, 128 - hd), v.dtype)], axis=1)
+                oe = jax.lax.dot(p32.astype(v.dtype), vx,
+                                 preferred_element_type=jnp.float32)
+                denom = oe[:, hd:hd + 1]
+                o_ref[:, h * hd:(h + 1) * hd] = (
+                    oe[:, :hd] / denom).astype(o_ref.dtype)
+                continue
             denom = jnp.sum(p32, axis=1, keepdims=True)
             o = jax.lax.dot(p32.astype(v.dtype), v,
                             preferred_element_type=jnp.float32)
@@ -218,15 +237,17 @@ def flash_attention_relpos_blc(
     grid_hw: tuple[int, int] = (32, 32),
     interpret: bool = False,
     num_heads: int | None = None,
-    fused_bias: bool | None = None,
+    fused_bias: bool | int | None = None,
 ) -> jnp.ndarray:
     """Env-resolving wrapper: ``fused_bias=None`` reads CLASSPOSE_ATTN_V2.
-    Default ON — measured on v5e (tools/attn_micro.py, r3): 7.20 vs
-    10.48 ms/layer over the 100-crop batch, and -8% on the full ViT
-    forward (tools/bench_fwd_ab.py); max|Δ| vs the split-bias kernel is
-    6e-5 (bf16 rounding of the single fused accumulation chain). Set
-    CLASSPOSE_ATTN_V2=0 to restore the split-bias variant; A/B harnesses
-    pass an explicit bool to interleave both in one process.
+    Variants: 0 = split-bias kernel, 1 = fused-bias (one full-depth QK
+    dot + deferred softmax normalization), 2 = fused-bias + MXU row-sum
+    ("onesum": the AV matmul's free padding lanes accumulate the softmax
+    denominator). Measured on v5e (tools/attn_micro.py r3,
+    tools/attn_v3.py r4): 10.48 / 7.20-5.28 / 4.86 ms/layer over the
+    100-crop batch; max|Δ| of 1 vs 0 is 6e-5, of 2 vs 1 is 3e-5 (bf16
+    rounding of the accumulation chains). Default 2. A/B harnesses pass
+    an explicit value to interleave variants in one process.
 
     ``rel_w=None`` means ``rel_h`` is already the per-head concatenated
     bias projection (B, L, n, H+W) — produced by the single-table rel
@@ -234,10 +255,10 @@ def flash_attention_relpos_blc(
     if fused_bias is None:
         import os
 
-        fused_bias = os.environ.get("CLASSPOSE_ATTN_V2", "1") == "1"
+        fused_bias = int(os.environ.get("CLASSPOSE_ATTN_V2", "2"))
     return _flash_attention_relpos_blc(
         qkv, rel_h, rel_w, scale, grid_hw=grid_hw, interpret=interpret,
-        num_heads=num_heads, fused_bias=bool(fused_bias),
+        num_heads=num_heads, fused_bias=int(fused_bias),
     )
 
 
@@ -304,7 +325,7 @@ def _flash_attention_relpos_blc(
     grid_hw: tuple[int, int] = (32, 32),
     interpret: bool = False,
     num_heads: int | None = None,
-    fused_bias: bool = False,
+    fused_bias: int = 0,
 ) -> jnp.ndarray:
     """Attention in the token-major layout: qkv (B, L, 3·n·hd) exactly as
     the qkv projection emits it (pass ``num_heads``; a 5-D

@@ -259,17 +259,15 @@ class DeviceWorker:
             return
         model = self.models[self._rr % len(self.models)]
         self._rr += 1
-        if self._infer_pool is not None:
-            self._futures.append(
-                self._infer_pool.submit(self._run_batch, model, items)
-            )
-        else:
-            self._futures.append(self._run_batch(model, items))
-
-    def _run_batch(self, model, items):
-        """Batched device program for a bucket of same-sized tiles
-        (ClassposeModel.eval_batch); returns a list of post-proc futures."""
-        t0 = time.time()
+        # PRE-UPLOAD the batch here, on the stream thread, instead of
+        # inside eval_batch on the inference thread: a device_put issued
+        # while the previous batch's program is running rides the axon
+        # tunnel for ~0 extra wall, while one on the dispatch critical
+        # path adds its full ~300 ms/batch (tools/bench_link2.py). The
+        # dispatch itself (host staging copy + enqueue) is ~35 ms —
+        # cheap relative to the ~1 s device program it hides under.
+        # Mesh-sharded runs keep host tiles: eval_batch device_puts them
+        # against the mesh sharding itself.
         tiles = np.stack([t for t, _, _ in items])
         n = len(items)
         if n < self.tile_batch:
@@ -282,6 +280,28 @@ class DeviceWorker:
             tiles = np.concatenate(
                 [tiles, np.repeat(tiles[-1:], self.tile_batch - n, axis=0)]
             )
+        if (
+            not self.sharded
+            and len(self.models) == 1
+            and getattr(model, "_runners", None) is not None
+        ):
+            import jax
+
+            tiles = jax.device_put(tiles)
+        if self._infer_pool is not None:
+            self._futures.append(
+                self._infer_pool.submit(self._run_batch, model, tiles,
+                                        items)
+            )
+        else:
+            self._futures.append(self._run_batch(model, tiles, items))
+
+    def _run_batch(self, model, tiles, items):
+        """Batched device program for a bucket of same-sized tiles
+        (ClassposeModel.eval_batch, input pre-uploaded by
+        :meth:`_flush_bucket`); returns a list of post-proc futures."""
+        t0 = time.time()
+        n = len(items)
         results = model.eval_batch(
             tiles,
             batch_size=self.batch_size,

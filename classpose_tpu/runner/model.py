@@ -802,15 +802,28 @@ class ClassposeModel:
         host↔device link (~8× less transfer than shipping logits + flows —
         the link, not compute, dominated the previous profile). uint8 tiles
         are transferred as uint8 and converted on device.
+
+        ``tiles`` may be a device-resident ``jax.Array`` (uint8/float32):
+        the upload then happened off this thread's critical path (the
+        DeviceWorker pre-uploads each bucket as it fills), and this method
+        dispatches the program directly — tools/bench_link2.py measured
+        that an upload issued while a program is running rides the tunnel
+        for ~0 extra wall, while one on the dispatch path adds its full
+        ~300 ms/batch.
         """
-        tiles = np.ascontiguousarray(tiles)
-        if tiles.dtype != np.uint8:
-            tiles = np.ascontiguousarray(tiles, np.float32)
+        if isinstance(tiles, jax.Array):
+            if tiles.dtype not in (jnp.uint8, jnp.float32):
+                tiles = tiles.astype(jnp.float32)
+        else:
+            tiles = np.ascontiguousarray(tiles)
+            if tiles.dtype != np.uint8:
+                tiles = np.ascontiguousarray(tiles, np.float32)
         B0 = tiles.shape[0]
         n_dev = int(self._mesh.devices.size) if self._mesh is not None else 1
         if n_dev > 1 and B0 % n_dev:
-            tiles = np.concatenate(
-                [tiles, np.repeat(tiles[-1:], (-B0) % n_dev, axis=0)]
+            xp = jnp if isinstance(tiles, jax.Array) else np
+            tiles = xp.concatenate(
+                [tiles, xp.repeat(tiles[-1:], (-B0) % n_dev, axis=0)]
             )
         B, S = tiles.shape[0], tiles.shape[1]
 
@@ -954,8 +967,17 @@ class ClassposeModel:
         fn, raw_int16 = self._runners[key]
         qc_k = qc_max_instances(S * S)
         # ONE packed uint8 buffer = one device→host round trip (the
-        # tunnel charges ~90 ms latency per fetch; see _pack_fused_outputs)
-        buf = np.asarray(fn(xt))
+        # tunnel charges ~90 ms latency per fetch; see _pack_fused_outputs).
+        # copy_to_host_async starts the fetch the moment the program
+        # retires instead of when np.asarray gets around to blocking, so
+        # under the two-in-flight DeviceWorker the bytes stream while the
+        # OTHER thread's program runs.
+        buf_dev = fn(xt)
+        try:
+            buf_dev.copy_to_host_async()
+        except (AttributeError, RuntimeError):  # backend without support
+            pass
+        buf = np.asarray(buf_dev)
         class_pix, raw, n_inst, win_ok = _unpack_fused_outputs(
             buf, S, raw_int16, self.nclasses, qc_k
         )

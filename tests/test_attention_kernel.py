@@ -124,6 +124,34 @@ def test_blc_fused_bias_matches_reference(seed):
     )
 
 
+@pytest.mark.parametrize("variant", [0, 1, 2])
+def test_blc_variants_match_reference(variant):
+    """All CLASSPOSE_ATTN_V2 variants (0 split-bias, 1 fused-bias,
+    2 fused-bias + MXU row-sum "onesum") must match the reference to the
+    same tolerance. Variant 2 extracts the softmax denominator from the
+    AV matmul's padding lanes (p @ [v | 1]) instead of a VPU sum-reduce
+    — measured 4.86 vs 5.28 ms/layer on v5e (tools/attn_v3.py)."""
+    rng = np.random.default_rng(17)
+    qkv = jnp.asarray(rng.normal(size=(B, L, 3, n, hd)), jnp.float32)
+    rel_h = jnp.asarray(rng.normal(size=(B, L, n, H)) * 2, jnp.float32)
+    rel_w = jnp.asarray(rng.normal(size=(B, L, n, W)) * 2, jnp.float32)
+
+    out = flash_attention_relpos_blc(
+        qkv, rel_h, rel_w, hd**-0.5, grid_hw=(H, W), interpret=True,
+        fused_bias=variant,
+    )
+    q, k, v = [jnp.swapaxes(qkv[:, :, j], 1, 2) for j in range(3)]
+    ref = attention_reference(
+        q, k, v, jnp.swapaxes(rel_h, 1, 2), jnp.swapaxes(rel_w, 1, 2),
+        hd**-0.5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(out, 1, 2), np.float32),
+        np.asarray(ref, np.float32),
+        atol=2e-3, rtol=2e-3,
+    )
+
+
 def test_blc_kernel_flat_qkv_matches_5d():
     """The production 3-D (B, L, 3C) input form — fed straight from the
     qkv projection with no 5-D relayout — must be bit-identical to the

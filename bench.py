@@ -127,11 +127,18 @@ def main():
     stop = threading.Event()
 
     def uploader():
+        # one device_put per queue slot — re-issuing it on every
+        # queue.Full retry would launch a fresh async 12.6 MB transfer
+        # each 0.2 s and saturate the tunnel link (measured: the compute
+        # stream collapses ~12x under that background load)
         while not stop.is_set():
-            try:
-                devq.put(jax.device_put(tiles), timeout=0.2)
-            except queue.Full:
-                continue
+            x = jax.device_put(tiles)
+            while not stop.is_set():
+                try:
+                    devq.put(x, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
 
     up = threading.Thread(target=uploader, daemon=True)
     up.start()

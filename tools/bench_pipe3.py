@@ -81,11 +81,19 @@ def main():
         stop = threading.Event()
 
         def upload_loop():
+            # upload ONCE per queue slot: a device_put inside the retry
+            # loop would launch a fresh 12.6 MB transfer every 0.2 s
+            # timeout, saturating the ~10-125 MB/s tunnel link and
+            # starving the compute stream (first run of this harness
+            # measured 0.19 tiles/s in "pre" mode from exactly that)
             while not stop.is_set():
-                try:
-                    devq.put(jax.device_put(tiles, dev), timeout=0.2)
-                except queue.Full:
-                    continue
+                x = jax.device_put(tiles, dev)
+                while not stop.is_set():
+                    try:
+                        devq.put(x, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
 
         up = None
         if prefetch:
@@ -142,10 +150,13 @@ def main():
 
     def upload_loop():
         while not stop.is_set():
-            try:
-                devq.put(jax.device_put(tiles, dev), timeout=0.2)
-            except queue.Full:
-                continue
+            x = jax.device_put(tiles, dev)
+            while not stop.is_set():
+                try:
+                    devq.put(x, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
 
     up = threading.Thread(target=upload_loop, daemon=True)
     up.start()

@@ -96,9 +96,10 @@ def main():
         model = ClassposeModel(cfg=cfg, precision="bf16")
 
     rng = np.random.default_rng(0)
-    # pipeline --tile_batch: one device program per batch; 4 is the
-    # production default, CLASSPOSE_BENCH_TILE_BATCH sweeps alternatives
-    TILE_BATCH = int(os.environ.get("CLASSPOSE_BENCH_TILE_BATCH", "4"))
+    # pipeline --tile_batch: one device program per batch; 8 is the
+    # production default (r4 sweep: 3.85 vs 3.55 tiles/s at 4 once
+    # uploads are prefetched), CLASSPOSE_BENCH_TILE_BATCH sweeps others
+    TILE_BATCH = int(os.environ.get("CLASSPOSE_BENCH_TILE_BATCH", "8"))
     # uint8 tiles, as the slide readers produce them — the batched path
     # transfers them as-is and converts on device (4x less host->device
     # traffic over the tunnel)

@@ -71,16 +71,10 @@ class ClassTransformerConfig:
         return self.bsize // self.ps
 
 
-def get_rel_pos(q_size: int, k_size: int, rel_pos: jnp.ndarray) -> jnp.ndarray:
-    """Select (and if needed linearly resize) relative positional embeddings.
-
-    Equivalent to segment-anything's ``get_rel_pos`` used by the reference at
-    vit_sam.py:40-41: returns (q_size, k_size, head_dim) where entry (i, j)
-    is ``rel_pos[i - j + k_size - 1]`` (after optional interpolation to
-    2·max(q,k)−1 entries).
-    """
+def _interp_rel_pos(rel_pos: jnp.ndarray, max_rel_dist: int) -> jnp.ndarray:
+    """Linearly resize a decomposed rel-pos table to ``max_rel_dist`` rows
+    (identity when it already has that many)."""
     rel_pos = jnp.asarray(rel_pos)  # loaded checkpoints may hold numpy
-    max_rel_dist = 2 * max(q_size, k_size) - 1
     if rel_pos.shape[0] != max_rel_dist:
         # linear interpolation along the positions axis
         x_old = jnp.linspace(0.0, 1.0, rel_pos.shape[0])
@@ -89,10 +83,63 @@ def get_rel_pos(q_size: int, k_size: int, rel_pos: jnp.ndarray) -> jnp.ndarray:
         idx = jnp.clip(idx, 0, rel_pos.shape[0] - 2)
         t = (x_new - x_old[idx]) / (x_old[idx + 1] - x_old[idx])
         rel_pos = rel_pos[idx] * (1 - t)[:, None] + rel_pos[idx + 1] * t[:, None]
+    return rel_pos
+
+
+def get_rel_pos(q_size: int, k_size: int, rel_pos: jnp.ndarray) -> jnp.ndarray:
+    """Select (and if needed linearly resize) relative positional embeddings.
+
+    Equivalent to segment-anything's ``get_rel_pos`` used by the reference at
+    vit_sam.py:40-41: returns (q_size, k_size, head_dim) where entry (i, j)
+    is ``rel_pos[i - j + k_size - 1]`` (after optional interpolation to
+    2·max(q,k)−1 entries).
+    """
+    rel_pos = _interp_rel_pos(rel_pos, 2 * max(q_size, k_size) - 1)
     q_coords = jnp.arange(q_size)[:, None] * max(k_size / q_size, 1.0)
     k_coords = jnp.arange(k_size)[None, :] * max(q_size / k_size, 1.0)
     rel = (q_coords - k_coords) + (k_size - 1) * max(q_size / k_size, 1.0)
     return rel_pos[rel.astype(jnp.int32)]
+
+
+def rel_bias_matmul(q_tok, rel_pos_h, rel_pos_w, H: int, W: int):
+    """SAM decomposed rel-pos bias as ONE plain matmul + static slices.
+
+    Emits the per-head concatenated bias (B, L, n, H+W) that
+    ``flash_attention_relpos_blc`` consumes (identical element math to
+    the per-token-table "cat" einsum; reference vit_sam.py:15-65):
+    ``rel[b,i,n,j] = q_i · T_h[h_i - j + H - 1]`` (resp. ``T_w`` over w).
+
+    Why: formulations that expand the table per token carry the token
+    index l as a batch dim of the einsum's table operand, which XLA
+    lowers as a grouped convolution of L tiny (n×hd)·(hd×K) dots (~2%
+    MFU) plus ~3 ms/layer of copy/reshape to reach the kernel layout
+    (r4 trace: 104 ms per 4-tile batch all told). Here the tables have
+    no token dim — one (B·L·n, hd)×(hd, 2H-1+2W-1) MXU matmul — and the
+    per-token shifted windows are STATIC lane slices: h_i = i//W is
+    constant within a row group, so each of the H row groups takes one
+    contiguous slice; reversing the table rows turns the descending
+    window ``P[h_i+H-1-j]`` into the ascending slice ``P'[(H-1-h_i)+j]``
+    so no flip materializes.
+    """
+    B, L, n, hd = q_tok.shape
+    Th = _interp_rel_pos(rel_pos_h, 2 * H - 1).astype(q_tok.dtype)
+    Tw = _interp_rel_pos(rel_pos_w, 2 * W - 1).astype(q_tok.dtype)
+    T2 = jnp.concatenate([Th[::-1], Tw[::-1]], axis=0)
+    P = jnp.einsum("blnc,kc->blnk", q_tok, T2)  # ONE plain matmul
+    nH = 2 * H - 1
+    Pg = P.reshape(B, H, W, n, nH + 2 * W - 1)
+    rel_h = jnp.stack(
+        [Pg[:, h, :, :, H - 1 - h : 2 * H - 1 - h] for h in range(H)],
+        axis=1,
+    )  # (B, H, W, n, H)
+    rel_w = jnp.stack(
+        [
+            Pg[:, :, w, :, nH + W - 1 - w : nH + 2 * W - 1 - w]
+            for w in range(W)
+        ],
+        axis=2,
+    )  # (B, H, W, n, W)
+    return jnp.concatenate([rel_h, rel_w], axis=-1).reshape(B, L, n, H + W)
 
 
 class Attention(nn.Module):
@@ -149,7 +196,12 @@ class Attention(nn.Module):
             import os as _os
 
             _rel_mode = _os.environ.get("CLASSPOSE_REL_TOKEN", "cat")
-            if _rel_mode == "cat":
+            if _rel_mode == "mat":
+                q_tok = qkv[..., :C].reshape(B, L, self.num_heads,
+                                             head_dim)
+                rel_h = rel_bias_matmul(q_tok, rel_pos_h, rel_pos_w, H, W)
+                rel_w = None
+            elif _rel_mode == "cat":
                 # single concatenated-table formulation: one batched dot
                 # against the per-token table [Rh[i//W] | Rw[i%W]]
                 # (L, H+W, hd) emits (B, L, n, H+W) — ALREADY the per-head
@@ -297,10 +349,20 @@ class MLPBlock(nn.Module):
 
         if _os.environ.get("CLASSPOSE_GELU_BARRIER", "0") == "1":
             x = jax.lax.optimization_barrier(x)
-        xf = x.astype(jnp.float32)
-        x = (
-            0.5 * xf * (1.0 + jax.lax.erf(xf * 0.7071067811865476))
-        ).astype(self.dtype)
+        _gelu = _os.environ.get("CLASSPOSE_GELU", "erf")
+        if _gelu == "tanh" and self.dtype != jnp.float32:
+            # A/B alternative (bf16 compute only; fp32 keeps the exact
+            # parity contract): the tanh approximation's max error vs
+            # exact GELU is ~1e-3 absolute near |x|≈2 — below bf16's own
+            # ~4e-3 relative resolution there, so the measured path's
+            # results are statistically indistinguishable while the VPU
+            # drops the erf polynomial for a cheaper tanh.
+            x = nn.gelu(x, approximate=True)
+        else:
+            xf = x.astype(jnp.float32)
+            x = (
+                0.5 * xf * (1.0 + jax.lax.erf(xf * 0.7071067811865476))
+            ).astype(self.dtype)
         return nn.Dense(d, dtype=self.dtype, name="lin2")(x)
 
 

@@ -128,8 +128,11 @@ class DeviceWorker:
         if tile_batch is None or int(tile_batch) <= 0:
             # fast path by default: the per-tile eval round-trips the host
             # several times per tile; the batched program amortizes those
-            # dispatches (VERDICT r1 items 2+6)
-            tile_batch = max(4, len(devices)) if batched else 1
+            # dispatches (VERDICT r1 items 2+6). 8/device: once uploads
+            # are prefetched off the critical path, the larger program
+            # amortizes the per-batch epilogues (pack, argmax, readback
+            # latency) — measured 3.85 vs 3.55 tiles/s/chip at 4 (r4)
+            tile_batch = max(8, 2 * len(devices)) if batched else 1
         self.tile_batch = max(1, int(tile_batch))
         self.models = [model]
         self.sharded = False

@@ -265,3 +265,33 @@ def test_blc_kernel_is_differentiable():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-3, rtol=5e-3
         )
+
+
+def test_rel_bias_matmul_matches_cat_einsum():
+    """The "mat" formulation (one plain matmul against the raw reversed
+    tables + static shifted-window slices) must equal the "cat"
+    per-token-table einsum element-for-element — both contract the same
+    64-value table rows (reference vit_sam.py:15-65 decomposed bias)."""
+    from classpose_tpu.nn.vit_sam import get_rel_pos, rel_bias_matmul
+
+    rng = np.random.default_rng(11)
+    Ht, Wt, nh, hdim = 8, 8, 3, 16
+    Lt = Ht * Wt
+    for rows_h, rows_w in ((2 * Ht - 1, 2 * Wt - 1), (9, 11)):
+        q = jnp.asarray(
+            rng.normal(size=(2, Lt, nh, hdim)), jnp.float32
+        )
+        ph = jnp.asarray(rng.normal(size=(rows_h, hdim)), jnp.float32)
+        pw = jnp.asarray(rng.normal(size=(rows_w, hdim)), jnp.float32)
+        # cat construction (the shipping alternative)
+        Rh = get_rel_pos(Ht, Ht, ph)
+        Rw = get_rel_pos(Wt, Wt, pw)
+        T = jnp.concatenate(
+            [jnp.repeat(Rh, Wt, axis=0), jnp.tile(Rw, (Ht, 1, 1))],
+            axis=1,
+        )
+        cat = jnp.einsum("blnc,lkc->blnk", q, T)
+        mat = rel_bias_matmul(q, ph, pw, Ht, Wt)
+        np.testing.assert_allclose(
+            np.asarray(mat), np.asarray(cat), rtol=0, atol=2e-5
+        )

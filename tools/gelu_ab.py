@@ -1,8 +1,6 @@
-"""TPU A/B of the rel-pos projection formulation on the full ViT
-forward: CLASSPOSE_REL_TOKEN=0 (spatial einsum, conv-lowered) vs 1
-(token-batched dot, two einsums + kernel concat) vs cat (single
-concatenated-table einsum, no concat), interleaved wall medians +
-output delta."""
+"""TPU A/B of the MLP GELU formulation on the full ViT forward:
+CLASSPOSE_GELU=erf (exact, f32 upcast — default) vs tanh (bf16
+approximate). Interleaved wall medians + output delta."""
 
 import os
 import time
@@ -28,9 +26,8 @@ def main():
     )
 
     fns, outs = {}, {}
-    for name, v in (("rel_spatial", "0"), ("rel_token", "1"),
-                    ("rel_cat", "cat"), ("rel_mat", "mat")):
-        os.environ["CLASSPOSE_REL_TOKEN"] = v
+    for name, v in (("gelu_erf", "erf"), ("gelu_tanh", "tanh")):
+        os.environ["CLASSPOSE_GELU"] = v
         jax.clear_caches()
 
         @jax.jit
@@ -49,19 +46,14 @@ def main():
         fns[name] = run
 
     print(
-        "max|delta| token vs spatial:",
-        float(np.abs(outs["rel_token"] - outs["rel_spatial"]).max()),
-        "cat vs token:",
-        float(np.abs(outs["rel_cat"] - outs["rel_token"]).max()),
-        "mat vs cat:",
-        float(np.abs(outs["rel_mat"] - outs["rel_cat"]).max()),
+        "max|delta| tanh vs erf:",
+        float(np.abs(outs["gelu_tanh"] - outs["gelu_erf"]).max()),
         flush=True,
     )
-    for name, v in (("rel_spatial", "0"), ("rel_token", "1"),
-                    ("rel_cat", "cat"), ("rel_mat", "mat")):
-        os.environ["CLASSPOSE_REL_TOKEN"] = v
+    for name, v in (("gelu_erf", "erf"), ("gelu_tanh", "tanh")):
+        os.environ["CLASSPOSE_GELU"] = v
         fns[name]()
-    os.environ.pop("CLASSPOSE_REL_TOKEN", None)
+    os.environ.pop("CLASSPOSE_GELU", None)
 
     times = {k: [] for k in fns}
     for _ in range(7):

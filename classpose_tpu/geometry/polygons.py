@@ -165,6 +165,35 @@ class Polygon:
         return not _ring_self_intersects(r)
 
 
+def rings_batch_metrics_packed(
+    xy: np.ndarray, offs: np.ndarray
+) -> np.ndarray:
+    """(m, 5) [signed_area, cx, cy, perimeter, simple] for m open rings
+    PACKED in one (N, 2) float64 buffer with (m+1,) vertex offsets —
+    skips the per-ring list + concatenate of :func:`rings_batch_metrics`
+    (process_tile's native path already holds contours packed)."""
+    m = len(offs) - 1
+    out = np.empty((m, 5), np.float64)
+    if m == 0:
+        return out
+    lib = load_geomfast()
+    if lib is not None:
+        xc = np.ascontiguousarray(xy, np.float64)
+        oc = np.ascontiguousarray(offs, np.int64)
+        lib.rings_batch(
+            xc.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            oc.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+            m,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        return out
+    for k in range(m):
+        r = xy[offs[k] : offs[k + 1]]
+        out[k, :4] = _ring_metrics(r)
+        out[k, 4] = 0.0 if _ring_self_intersects(r) else 1.0
+    return out
+
+
 def rings_batch_metrics(rings: list[np.ndarray]) -> np.ndarray:
     """(m, 5) [signed_area, cx, cy, perimeter, simple] for a list of open
     (N, 2) float64 rings — ONE native call for the whole batch (the

@@ -90,6 +90,19 @@ def load_geomfast():
             ctypes.POINTER(ctypes.c_int32), ctypes.c_long, ctypes.c_long,
             ctypes.c_long, ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.dedup_keep.restype = ctypes.c_long
+        lib.dedup_keep.argtypes = [
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_long,
+            ctypes.c_double, ctypes.POINTER(ctypes.c_ubyte),
+        ]
+        lib.contours_batch.restype = ctypes.c_long
+        lib.contours_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_long),
+        ]
         _lib = lib
     except OSError as exc:  # dlopen failure
         logger.debug("geomfast load failed: %s", exc)

@@ -25,7 +25,10 @@ import cv2
 import numpy as np
 from scipy import ndimage
 
-from classpose_tpu.geometry.polygons import rings_batch_metrics
+from classpose_tpu.geometry.polygons import (
+    rings_batch_metrics,
+    rings_batch_metrics_packed,
+)
 from classpose_tpu.log import get_logger
 
 logger = get_logger(__name__)
@@ -58,6 +61,55 @@ def _uuid4_batch(m: int) -> list[str]:
     return out
 
 
+def _contours_batch_native(masks: np.ndarray):
+    """All instances' outer contours in ONE native pass over the label
+    image (geomfast ``contours_batch`` — Suzuki-Abe border following with
+    OpenCV's exact step order and CHAIN_APPROX_SIMPLE compression).
+
+    Returns (pts int32 (N, 2) x/y in tile coords, offs int64 (m+1,),
+    ids int32 (m,), first_px int64 (m,)) or ``None`` when the native
+    library is unavailable. Contour k is ``pts[offs[k]:offs[k+1]]`` for
+    ascending instance id ``ids[k]``; ``first_px`` is the instance's
+    raster-first flat pixel (the reference's class-lookup pixel).
+
+    Parity with the cv2 per-instance loop is vertex-exact, including
+    disconnected instances (cv2 returns EXTERNAL contours in reverse
+    discovery order, so contours[0] is the raster-LAST component — the
+    native pass replicates that; pinned by
+    tests/test_native_contours.py)."""
+    from classpose_tpu.native import load_geomfast
+
+    lib = load_geomfast()
+    if lib is None or not hasattr(lib, "contours_batch"):
+        return None
+    import ctypes
+
+    m = np.ascontiguousarray(masks, np.int32)
+    nmax = int(m.max()) if m.size else 0
+    if nmax <= 0:
+        return (
+            np.zeros((0, 2), np.int32), np.zeros(1, np.int64),
+            np.zeros(0, np.int32), np.zeros(0, np.int64),
+        )
+    H, W = m.shape
+    cap = max(4096, H * W // 8)
+    while True:
+        pts = np.empty((cap, 2), np.int32)
+        offs = np.zeros(nmax + 2, np.int64)
+        ids = np.empty(nmax + 1, np.int32)
+        fpx = np.empty(nmax + 1, np.int64)
+        n = lib.contours_batch(
+            m.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), H, W, cap,
+            pts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            fpx.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        )
+        if n >= 0:
+            return pts, offs[: n + 1], ids[:n], fpx[:n]
+        cap *= 2
+
+
 def process_tile(
     masks: np.ndarray,
     class_masks: np.ndarray | None,
@@ -73,14 +125,71 @@ def process_tile(
     """
     if colormap is None and labels is not None:
         colormap = get_colormap()
-    object_slices = ndimage.find_objects(masks)
     n_invalid = 0
     ox, oy = tile_origin
     origin = np.array([ox, oy], np.float64)
 
-    # pass 1: contours in slide coordinates + per-cell class value
+    nat = _contours_batch_native(masks)
+    if nat is not None:
+        # native path: one image pass for every contour; vertices scaled
+        # to slide coordinates in one vectorized op, metrics computed on
+        # the packed buffer directly (no per-ring list/concat), validity
+        # fully vectorized — only the feature-dict loop stays Python
+        pts, offs, inst_ids, fpx = nat
+        xy = (
+            pts[: offs[-1]].astype(np.float64)
+            * prediction_to_slide_scale + origin
+        )
+        if class_masks is not None and labels is not None:
+            cls_all = np.ascontiguousarray(class_masks).ravel()[fpx]
+        else:
+            cls_all = None
+        met = rings_batch_metrics_packed(xy, offs)
+        valid = (
+            (np.diff(offs) >= 4)
+            & (met[:, 4] > 0)
+            & (np.abs(met[:, 0]) >= 1e-12)
+        )
+        kept = np.flatnonzero(valid)
+        n_invalid = int(len(inst_ids) - len(kept))
+        uuids = _uuid4_batch(len(kept))
+
+        cells = []
+        for j, k in enumerate(kept):
+            if cls_all is not None:
+                cl_idx = max(int(cls_all[k]) - 1, 0)
+                label = (
+                    labels[cl_idx] if cl_idx < len(labels) else str(cl_idx)
+                )
+                color = colormap[cl_idx % len(colormap)]
+            else:
+                label = "cell"
+                color = DEFAULT_CELL_COLOR
+                cl_idx = 0
+            coords = xy[offs[k] : offs[k + 1]].tolist()
+            coords.append(list(coords[0]))
+            cells.append(
+                {
+                    "id": uuids[j],
+                    "coords": coords,
+                    "class_int": cl_idx,
+                    "area": abs(float(met[k, 0])),
+                    "label": label,
+                    "color": color,
+                    "perimeter": float(met[k, 3]),
+                    "centroid": [
+                        round(float(met[k, 1]), 2),
+                        round(float(met[k, 2]), 2),
+                    ],
+                }
+            )
+        return cells, n_invalid
+
+    # fallback: the reference's per-instance bbox-crop cv2 loop
+    # (identical output; pins the native path in tests)
     rings: list[np.ndarray] = []
     cell_classes: list[int] = []
+    object_slices = ndimage.find_objects(masks)
     for label_idx, sl in enumerate(object_slices, start=1):
         if sl is None:
             continue

@@ -408,19 +408,21 @@ def get_masks_from_positions_batched(
 
     mode = _pallas_sampler_mode()
     D = GET_MASKS_PALLAS_BOUND
-    # CLASSPOSE_GM_PALLAS=1 opts in to the Pallas histogram/label-sample
-    # kernels. Default OFF on hardware: measured on v5e
-    # (tools/bench_get_masks.py, r3, 441 inst/tile) the XLA
-    # scatter/gather path is ~11% faster here (113.5 vs 126.1 ms) —
-    # unlike the flow-integration sampler, get_masks does only ONE
-    # scatter + ONE gather, so the stripe kernels' DMA overhead
-    # outweighs the gather they remove. Both paths are bit-exact; the
-    # kernels stay available for A/B, and interpret mode (the CPU test
-    # path) still exercises them unless explicitly disabled with =0.
+    # CLASSPOSE_GM_PALLAS=0 opts OUT of the Pallas histogram/label-sample
+    # kernels. Default ON (r5): at the production cell density the
+    # stripe kernels beat the XLA scatter/gather by 28% (130.9 vs
+    # 181.9 ms per 8x1024² batch at 1024 inst/tile,
+    # tools/bench_ff_gm.py) — the r3 default-OFF call was measured at
+    # 441 inst/tile (113.5 vs 126.1 ms), where the landing-position
+    # histogram is sparser and XLA's scatter serializes less; cost is
+    # density-dependent and production tiles sit at the dense end. Both
+    # paths are bit-exact and runtime-guarded (displacement past
+    # GET_MASKS_PALLAS_BOUND falls back to the scatter), so the flip
+    # cannot change results.
     gm_env = _os.environ.get("CLASSPOSE_GM_PALLAS")
     pallas_ok = (
         mode != "off"
-        and (gm_env == "1" or (gm_env != "0" and mode == "interpret"))
+        and gm_env != "0"
         and sampler_supported(H, W, D, 3)
         and sampler_supported(H, W, D, 1)
     )
@@ -585,11 +587,17 @@ def qc_filter_masks_fused(
 
     if window is None:
         # every sweep's work is linear in the window width; one 8192-px
-        # chunk is 8 image rows at 1024², whose dense-rank spread even at
-        # pathological 4k-cells/tile densities stays well under 512 (the
-        # window_ok guard still catches violations and falls back to the
-        # scatter QC). CLASSPOSE_QC_WINDOW overrides for A/B.
-        window = int(os.environ.get("CLASSPOSE_QC_WINDOW", "512"))
+        # chunk is 8 image rows at 1024². Default 256 (r5): measured
+        # 134.9 vs 170.7 ms per 8x1024² batch against 512
+        # (tools/bench_gm_breakdown.py, design-field load, 1024
+        # inst/tile). Margin: dense ranks are raster-ordered, so the id
+        # spread in 8 rows ≈ cells whose seed lies within ~±cell-height
+        # of those rows — ~110 at the densest real histology (4000
+        # nuclei/Mpx, ~20 px cells); 128 measured marginally faster
+        # still (121.0) but leaves <20% headroom before the window_ok
+        # guard forces a full tile redo (a second forward pass), so
+        # 256 is the production point. CLASSPOSE_QC_WINDOW overrides.
+        window = int(os.environ.get("CLASSPOSE_QC_WINDOW", "256"))
 
     H, W = raw.shape
     HW = H * W

@@ -214,6 +214,12 @@ def _sample_kernel(bounds_ref, py_ref, px_ref, u_hbm, o_ref, scratch, sem,
 
         prev0 = pltpu.roll(Fd, jnp.mod(-dx_lo, W), axis=2)
 
+        # NOTE (r5): factoring the x gather through the lerp (accumulate
+        # corner gathers A/B, lerp once per d) looks like fewer ops but
+        # measured 27% SLOWER end-to-end (466.7 vs 366.1 ms per 8x1024²
+        # composition, tools/bench_ff_gm.py) — the second live
+        # accumulator doubles the loop-carried vector state and Mosaic
+        # spills. The single-accumulator per-term lerp stays.
         def x_body(t, carry):
             g, prev = carry
             dx = dx_lo + t

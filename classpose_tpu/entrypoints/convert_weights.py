@@ -48,6 +48,22 @@ def main(args):
             else args.classes
         )
         logger.info("segmentation classes: %d", classes)
+        from classpose_tpu.nn.manifest import (
+            grandqc_manifest,
+            manifest_diff,
+        )
+
+        d = manifest_diff(sd, grandqc_manifest(classes))
+        if d["match"]:
+            logger.info("checkpoint matches the Zenodo key/shape manifest")
+        else:
+            logger.warning(
+                "checkpoint deviates from the Zenodo manifest: %d missing, "
+                "%d unexpected, %d shape mismatches — %s",
+                len(d["missing"]), len(d["unexpected"]),
+                len(d["shape_mismatch"]),
+                (d["missing"] + d["unexpected"])[:5],
+            )
         params, frac = convert_grandqc_checkpoint(
             sd, classes=classes, strict=args.strict
         )

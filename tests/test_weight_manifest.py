@@ -25,52 +25,11 @@ import pytest
 torch = pytest.importorskip("torch")
 
 from classpose_tpu.nn.convert import convert_state_dict  # noqa: E402
+from classpose_tpu.nn.manifest import (  # noqa: E402
+    manifest_diff,
+    vit_l_manifest,
+)
 from classpose_tpu.nn.torch_replica import RefClassTransformer  # noqa: E402
-
-
-def vit_l_manifest(n_classes: int = 6) -> dict[str, tuple]:
-    """Hand-transcribed key→shape manifest for a published ViT-L
-    classpose checkpoint (conv class head). ps=8, bsize=256 → 32×32
-    tokens, rel-pos tables (2·32−1, head_dim=64)."""
-    E, D, H, TH, PS, NECK = 1024, 24, 16, 32, 8, 256
-    hd = E // H
-    m: dict[str, tuple] = {
-        "diam_mean": (1,),
-        "diam_labels": (1,),
-        "encoder.patch_embed.proj.weight": (E, 3, PS, PS),
-        "encoder.patch_embed.proj.bias": (E,),
-        "encoder.pos_embed": (1, TH, TH, E),
-        "encoder.neck.0.weight": (NECK, E, 1, 1),
-        "encoder.neck.1.weight": (NECK,),
-        "encoder.neck.1.bias": (NECK,),
-        "encoder.neck.2.weight": (NECK, NECK, 3, 3),
-        "encoder.neck.3.weight": (NECK,),
-        "encoder.neck.3.bias": (NECK,),
-        "out.weight": (3 * PS * PS, NECK, 1, 1),
-        "out.bias": (3 * PS * PS,),
-        "W2": (3 * PS * PS, 3, PS, PS),
-    }
-    for i in range(D):
-        pre = f"encoder.blocks.{i}"
-        m[f"{pre}.norm1.weight"] = (E,)
-        m[f"{pre}.norm1.bias"] = (E,)
-        m[f"{pre}.attn.qkv.weight"] = (3 * E, E)
-        m[f"{pre}.attn.qkv.bias"] = (3 * E,)
-        m[f"{pre}.attn.proj.weight"] = (E, E)
-        m[f"{pre}.attn.proj.bias"] = (E,)
-        m[f"{pre}.attn.rel_pos_h"] = (2 * TH - 1, hd)
-        m[f"{pre}.attn.rel_pos_w"] = (2 * TH - 1, hd)
-        m[f"{pre}.norm2.weight"] = (E,)
-        m[f"{pre}.norm2.bias"] = (E,)
-        m[f"{pre}.mlp.lin1.weight"] = (4 * E, E)
-        m[f"{pre}.mlp.lin1.bias"] = (4 * E,)
-        m[f"{pre}.mlp.lin2.weight"] = (E, 4 * E)
-        m[f"{pre}.mlp.lin2.bias"] = (E,)
-    if n_classes > 1:
-        m["out_class.weight"] = (n_classes * PS * PS, NECK, 1, 1)
-        m["out_class.bias"] = (n_classes * PS * PS,)
-        m["W3"] = (n_classes * PS * PS, n_classes, PS, PS)
-    return m
 
 
 def test_replica_state_dict_matches_manifest():
@@ -145,3 +104,23 @@ def test_full_size_manifest_converts_and_consumes():
     assert params["encoder"]["patch_embed"]["kernel"].shape == (8, 8, 3, 1024)
     assert "blocks_23" in params["encoder"]
     assert params["out_class"]["kernel"].shape == (1, 1, 256, 384)
+
+
+def test_manifest_diff_clean_and_dirty():
+    """manifest_diff (what parity_check reports for a real checkpoint):
+    the replica state dict diffs clean; a perturbed one reports every
+    category."""
+    net = RefClassTransformer(n_cell_classes=6)
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    d = manifest_diff(sd, vit_l_manifest(6))
+    assert d["match"], d
+
+    sd_bad = dict(sd)
+    sd_bad.pop("out.bias")
+    sd_bad["stray.weight"] = np.zeros(3, np.float32)
+    sd_bad["out.weight"] = np.zeros((1, 2, 3), np.float32)
+    d = manifest_diff(sd_bad, vit_l_manifest(6))
+    assert d["missing"] == ["out.bias"]
+    assert d["unexpected"] == ["stray.weight"]
+    assert d["shape_mismatch"][0]["key"] == "out.weight"
+    assert not d["match"]

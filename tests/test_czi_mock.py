@@ -3,9 +3,12 @@
 The real pylibCZIrw is absent in this environment (the gated
 tests/test_czi_reader.py importorskips, like the reference's). These
 tests instead install a numpy-backed fake whose API surface is the
-subset the reader uses (``CziReader.total_bounding_rectangle`` /
-``.metadata`` / ``.read(roi=..., zoom=...)``, transcribed from the
-reference's usage at wsi_utils.py:10-143), so the reader's OWN
+subset THIS repo's reader uses (``CziReader.total_bounding_rectangle``
+/ ``.metadata`` / ``.read(roi=..., zoom=...)`` — a real pylibCZIrw
+surface, mirroring classpose_tpu/io/czi_reader.py's calls; the
+reference's CZISlide at wsi_utils.py:10-143 instead consumes the
+``total_bounding_box``/``total_bounding_box_no_pyramid`` dict form of
+the same library), so the reader's OWN
 semantics — nonzero bounding-box origin offsets, BGR→RGB channel
 swap, meters→µm MPP resolution, edge-tile resize, pyramid level
 math — are exercised rather than merely code-complete.
@@ -127,6 +130,13 @@ def test_pyramid_levels_and_thumbnail(fake_pyczi):
     assert slide.level_count == 5
     assert slide.level_dimensions[0] == (512, 256)
     assert slide.level_dimensions[4] == (512 // 16, 256 // 16)
+    # DELIBERATE divergence from the reference CZISlide: this reader
+    # advertises the OpenSlide contract (largest level with downsample
+    # <= requested → 2 for 5.0), while the reference's
+    # get_best_level_for_downsample (wsi_utils.py:121-134) returns the
+    # first level with downsample >= requested (3 for 5.0). The
+    # pipeline's level/MPP math assumes OpenSlide semantics for every
+    # reader behind the WSI_READER facade.
     assert slide.get_best_level_for_downsample(5.0) == 2
     assert slide.get_best_level_for_downsample(16.0) == 4
     # level-1 read: zoom 0.5 through the fake, full size honored

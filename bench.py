@@ -162,8 +162,11 @@ def main():
         return model.eval_batch(x, batch_size=32, niter=200)
 
     pool = ThreadPoolExecutor(max_workers=N_THREADS)
-    # settle the queue + thread pipeline before timing
-    fs = [pool.submit(run_once) for _ in range(N_THREADS)]
+    # settle the queue + thread pipeline with one full untimed window
+    # (the first batches pay uploader ramp-up and any residual compile;
+    # a short settle let that drag the first timed window by ~2x in the
+    # 3-thread A/B)
+    fs = [pool.submit(run_once) for _ in range(max(N_THREADS, 5))]
     for f in fs:
         f.result()
 

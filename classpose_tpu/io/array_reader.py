@@ -98,8 +98,20 @@ def synthetic_wsi(
     img[..., 0] = 235
     img[..., 1] = 205
     img[..., 2] = 225
-    noise = rng.normal(0, 4, size=(height, width, 1))
-    img = np.clip(img.astype(np.int16) + noise, 0, 255).astype(np.uint8)
+    if height * width <= 1 << 30:
+        noise = rng.normal(0, 4, size=(height, width, 1))
+        img = np.clip(img.astype(np.int16) + noise, 0, 255).astype(np.uint8)
+    else:
+        # giant slides (64k²: the float64 noise plane alone would be
+        # 34 GB): add the texture in row blocks. Different RNG draw
+        # order than the one-shot path, so the ≤1 Gpx branch keeps
+        # small fixtures byte-identical across versions.
+        for y0 in range(0, height, 4096):
+            y1 = min(y0 + 4096, height)
+            blk = img[y0:y1].astype(np.int16) + rng.normal(
+                0, 4, size=(y1 - y0, width, 1)
+            )
+            img[y0:y1] = np.clip(blk, 0, 255).astype(np.uint8)
 
     class_colors = [
         (90, 60, 140),   # dark purple nuclei

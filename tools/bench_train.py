@@ -46,6 +46,11 @@ def main():
                     choices=["bfloat16", "float32"])
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--n_classes", type=int, default=6)
+    ap.add_argument("--no-pallas-attn", action="store_true",
+                    help="A/B: pure-XLA attention end to end (no Pallas "
+                    "forward, no recompute backward) — XLA AD saves the "
+                    "softmax probs instead of recomputing attention in "
+                    "the custom_vjp backward")
     args = ap.parse_args()
 
     import numpy as np
@@ -59,7 +64,8 @@ def main():
 
     enable_compilation_cache()
     cfg = ClassTransformerConfig(
-        n_cell_classes=args.n_classes, dtype=args.dtype
+        n_cell_classes=args.n_classes, dtype=args.dtype,
+        use_pallas_attention=not args.no_pallas_attn,
     )
     net = ClassTransformer(cfg)
     x0 = jnp.zeros((1, 3, cfg.bsize, cfg.bsize), jnp.float32)

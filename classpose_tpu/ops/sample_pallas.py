@@ -64,11 +64,39 @@ _VMEM_BUDGET_EXT = 48 * 1024 * 1024
 _VMEM_LIMIT_EXT = 64 * 1024 * 1024
 
 
+def _row_preference(Dh: int) -> tuple[int, ...]:
+    """Row-block preference order, smallest-first once the displacement
+    halo exceeds the stripe scale.
+
+    The adaptive loops are sized by PER-STRIPE offset ranges, so shorter
+    stripes see tighter y-ranges whenever content displaces further than
+    the stripe height: at the bench load (design field, ~26 px max cell
+    displacement) the r5 census (tools/ff_ranges.py) measured mean n_d
+    28 → 15 going R 128 → 16 on every pass with D ≥ 17, and the per-pass
+    walls dropped accordingly (R16 A/B: bound-16 pass 51.8 → 35 ms class,
+    late bound-64..145 passes ~87-99 → ~60 ms class) — the extra halo DMA
+    (stripes overlap more at small R) stays overlapped. Small bounds keep
+    the large-R order: their ranges are range-bound by D itself, and the
+    8x stripe count only adds per-stripe fixed costs.
+
+    CLASSPOSE_SAMPLER_R forces a specific R to the front (A/B knob).
+    """
+    import os
+
+    order = (128, 64, 32, 16, 8) if Dh <= 8 else (16, 32, 64, 128, 8)
+    ov = os.environ.get("CLASSPOSE_SAMPLER_R")
+    if ov:
+        r = int(ov)
+        order = (r,) + tuple(x for x in order if x != r)
+    return order
+
+
 def _pick_row_block(H: int, W: int, Dh: int, C: int = 2) -> int | None:
-    """Largest row block whose stripe + working set fits a VMEM budget
-    (the strict default-limit one first, then the extended one)."""
+    """First row block in the preference order whose stripe + working
+    set fits a VMEM budget (the strict default-limit one first, then the
+    extended one)."""
     for budget in (_VMEM_BUDGET, _VMEM_BUDGET_EXT):
-        for R in (128, 64, 32, 16, 8):
+        for R in _row_preference(Dh):
             if H % R or H < R + 2 * Dh:
                 continue
             if _kernel_vmem_bytes(R, W, Dh, C) <= budget:

@@ -67,11 +67,45 @@ _SHIFTS9 = [
 ]
 
 
+def _pallas_diffusion_mode() -> str:
+    """"on" (TPU default), "off", or "interpret" (CPU-testable path),
+    via CLASSPOSE_PALLAS_DIFFUSION."""
+    import os
+
+    ov = os.environ.get("CLASSPOSE_PALLAS_DIFFUSION")
+    if ov in ("0", "off"):
+        return "off"
+    if ov == "interpret":
+        return "interpret"
+    if ov in ("1", "on"):
+        return "on"
+    return "on" if jax.default_backend() == "tpu" else "off"
+
+
 def _diffuse_dyn(masks: jnp.ndarray, center_map: jnp.ndarray, niter):
     """Masked heat diffusion only (returns the temperature field T);
-    ``niter`` may be a traced scalar (lowers to a while loop)."""
+    ``niter`` may be a traced scalar (lowers to a while loop).
+
+    On TPU the loop runs as a whole-tile VMEM-resident Pallas kernel
+    (ops/diffusion_pallas.py diffuse_resident_pallas — bit-identical
+    term order, ~5x less wall at the QC's horizon-64/1024² load: the XLA
+    while re-streams T + ids from HBM every iteration); geometries past
+    the residency gate and non-TPU backends keep this XLA stencil."""
     H, W = masks.shape
     ids = masks.astype(jnp.int32)
+
+    mode = _pallas_diffusion_mode()
+    if mode != "off":
+        from classpose_tpu.ops.diffusion_pallas import (
+            diffuse_resident_pallas,
+            resident_diffusion_supported,
+        )
+
+        if resident_diffusion_supported(H, W):
+            return diffuse_resident_pallas(
+                ids, center_map, niter, interpret=(mode == "interpret")
+            )
+
     ids_p = jnp.pad(ids, 1)
     fg = ids > 0
     center_map = center_map * fg

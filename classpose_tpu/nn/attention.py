@@ -305,6 +305,20 @@ def _attn_core_fwd(qkv, rel, scale, grid_hw, num_heads, fused_bias,
 def _attn_core_bwd(scale, grid_hw, num_heads, fused_bias, interpret,
                    res, g):
     qkv, rel = res
+    import os as _os
+
+    mode = _os.environ.get("CLASSPOSE_ATTN_BWD")
+    use_pallas = (
+        mode == "pallas"
+        or (mode is None and (
+            interpret or jax.default_backend() == "tpu"
+        ))
+    )
+    if use_pallas:
+        return _attn_bwd_pallas(
+            qkv, rel, g.reshape(qkv.shape[0], qkv.shape[1], -1),
+            scale, grid_hw, num_heads, interpret,
+        )
     _, vjp = jax.vjp(
         lambda a, r: _attn_core_ref(a, r, scale, grid_hw, num_heads),
         qkv, rel,
@@ -416,6 +430,154 @@ def _attn_pallas(qkv, rel, scale, grid_hw, num_heads, fused_bias,
         ),
         interpret=interpret,
     )(qkv, qkv, qkv, rel)
+
+
+def _attn_bwd_kernel_blc(q_ref, k_ref, v_ref, rel_ref, do_ref,
+                         dq_ref, dk_ref, dv_ref, drel_ref, *,
+                         scale, hd, grid_h, grid_w):
+    """Flash-style attention backward for a pair of heads, recomputing
+    the (L, L) probabilities in VMEM from the saved operands — the
+    XLA-reference backward materializes logits AND probabilities in HBM
+    per layer (~1 GB transient at the batch-16 train step), which made
+    the ViT-L backward bandwidth-bound (~20% train MFU, VERDICT r4
+    item 4 / r5 item 6).
+
+    The fused-bias formulation gives the rel-pos grads for free: with
+    s = [q·scale | rh | rw] @ [k | onehot_h | onehot_w]ᵀ, the single
+    matmul dqx = ds @ kx emits [d(q·scale) | drh | drw] — the one-hot
+    selector columns route each ds row-sum into its bias bucket, which
+    is exactly the scatter the XLA backward does for the decomposed
+    bias. dk similarly contracts dsᵀ against the scaled-q block only.
+    """
+    L = q_ref.shape[0]
+    pair = q_ref.shape[1] // hd
+    rel_step = rel_ref.shape[1] // pair
+    for h in range(pair):
+        q = q_ref[:, h * hd:(h + 1) * hd]
+        k = k_ref[:, h * hd:(h + 1) * hd]
+        v = v_ref[:, h * hd:(h + 1) * hd]
+        rh = rel_ref[:, h * rel_step:h * rel_step + grid_h]
+        rw = rel_ref[:, h * rel_step + grid_h:(h + 1) * rel_step]
+        do = do_ref[:, h * hd:(h + 1) * hd]
+
+        # ---- recompute p exactly as the fused forward does ----
+        jj_h = jax.lax.broadcasted_iota(jnp.int32, (L, grid_h), 0) \
+            // grid_w
+        th = jax.lax.broadcasted_iota(jnp.int32, (L, grid_h), 1)
+        eh = (jj_h == th).astype(k.dtype)
+        jj_w = jax.lax.broadcasted_iota(jnp.int32, (L, grid_w), 0) \
+            % grid_w
+        tw = jax.lax.broadcasted_iota(jnp.int32, (L, grid_w), 1)
+        ew = (jj_w == tw).astype(k.dtype)
+        qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+        qx = jnp.concatenate([qs, rh, rw], axis=1)   # (L, hd+H+W)
+        kx = jnp.concatenate([k, eh, ew], axis=1)
+        s = jax.lax.dot_general(
+            qx, kx, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m = jnp.max(s, axis=1, keepdims=True)
+        p32 = jnp.exp(s - m)
+        pn = p32 / jnp.sum(p32, axis=1, keepdims=True)  # (L, L) f32
+        pb = pn.astype(v.dtype)
+
+        # ---- grads ----
+        # dv = pᵀ · do   (contract the query axis)
+        dv = jax.lax.dot_general(
+            pb, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dp = do · vᵀ
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # softmax backward: ds = p ∘ (dp − Σ_j p∘dp)
+        delta = jnp.sum(pn * dp, axis=1, keepdims=True)
+        ds = (pn * (dp - delta)).astype(k.dtype)     # (L, L)
+        # dqx = ds · kx → [d(q·scale) | drh | drw] in one matmul
+        dqx = jax.lax.dot_general(
+            ds, kx, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dk = dsᵀ · (q·scale)
+        dk = jax.lax.dot_general(
+            ds, qs, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        odt = dq_ref.dtype
+        dq_ref[:, h * hd:(h + 1) * hd] = (
+            dqx[:, :hd] * scale).astype(odt)
+        dk_ref[:, h * hd:(h + 1) * hd] = dk.astype(odt)
+        dv_ref[:, h * hd:(h + 1) * hd] = dv.astype(odt)
+        drel_ref[:, h * rel_step:(h + 1) * rel_step] = (
+            dqx[:, hd:hd + grid_h + grid_w].astype(drel_ref.dtype)
+        )
+
+
+def _attn_bwd_pallas(qkv, rel, do, scale, grid_hw, num_heads,
+                     interpret):
+    """Pallas backward: returns (dqkv, drel) matching the forward's
+    operand shapes. Same grid/blocking as :func:`_attn_pallas`."""
+    B, L, C3 = qkv.shape
+    n = num_heads
+    hd = C3 // (3 * n)
+    H, W = grid_hw
+    pair = max(1, 128 // hd)
+    import os as _os
+
+    _p = _os.environ.get("CLASSPOSE_ATTN_PAIR")
+    if _p and int(_p) >= pair and n % int(_p) == 0:
+        pair = int(_p)
+    np_blk = n // pair
+    bw = hd * pair
+    nh = (n * hd) // bw
+    rel_shape = rel.shape
+    rel2 = rel.reshape(B, L, n * (H + W))
+    rw_blk = pair * (H + W)
+
+    dq, dk, dv, drel = pl.pallas_call(
+        partial(_attn_bwd_kernel_blc, scale=scale, hd=hd, grid_h=H,
+                grid_w=W),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, L, n * hd), qkv.dtype),
+            jax.ShapeDtypeStruct((B, L, n * hd), qkv.dtype),
+            jax.ShapeDtypeStruct((B, L, n * hd), qkv.dtype),
+            jax.ShapeDtypeStruct((B, L, n * (H + W)), rel.dtype),
+        ),
+        grid=(B, np_blk),
+        in_specs=[
+            pl.BlockSpec((None, L, bw), lambda b, p: (b, 0, p),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, L, bw), lambda b, p: (b, 0, nh + p),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, L, bw), lambda b, p: (b, 0, 2 * nh + p),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, L, rw_blk), lambda b, p: (b, 0, p),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, L, bw), lambda b, p: (b, 0, p),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((None, L, bw), lambda b, p: (b, 0, p),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, L, bw), lambda b, p: (b, 0, p),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, L, bw), lambda b, p: (b, 0, p),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, L, rw_blk), lambda b, p: (b, 0, p),
+                         memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=max(2, pair) * 24 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(qkv, qkv, qkv, rel2, do)
+
+    dqkv = jnp.concatenate([dq, dk, dv], axis=-1)
+    return dqkv, drel.reshape(rel_shape)
 
 
 def attention_reference(q, k, v, rel_h, rel_w, scale):

@@ -174,6 +174,133 @@ def diffuse_pallas(
     return T[:, :H, :W]
 
 
+# ---------------------------------------------------------------------
+# Whole-tile VMEM-resident diffusion (r5).
+#
+# The r2 halo-blocked kernel above loses to XLA because it pays a window
+# DMA every k iterations. At the production QC geometry (1024² tiles) the
+# ENTIRE tile fits in VMEM (a v5e core has 128 MB), so this kernel DMAs
+# nothing between iterations: ids/center/T stay resident and the 9
+# neighbor-match masks — loop-invariant — are materialized once in
+# scratch. The XLA stencil re-streams T + ids from HBM every iteration
+# (~1 ms/iter for an 8×1024² batch, 67 ms of the fused QC at horizon 64,
+# r5 trace); here an iteration is 9 static rolls + FMAs over VMEM.
+#
+# Exactness: the accumulation reproduces _diffuse_dyn's term order
+# (Σ over _SHIFTS9, /9.0, where(fg)); masks are exactly 0/1 f32 so
+# mask·roll(T) equals the XLA path's where(nb_id==ids, nb_T, 0) — the
+# wrapped rows/cols a roll introduces are zeroed through the mask's
+# border-validity term, matching the zero-pad semantics (a pad-border
+# neighbor contributes exactly 0.0 there too: either the id differs, or
+# both ids are 0 and the padded T is 0).
+# ---------------------------------------------------------------------
+
+# per-tile VMEM footprint of the resident kernel (f32 planes): 8 masks +
+# ids + center + fg + T carry + acc/roll temps ≈ 14 planes
+_RESIDENT_PLANES = 15
+_RESIDENT_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def resident_diffusion_supported(H: int, W: int) -> bool:
+    """Whole-tile residency gate: the kernel keeps ~15 f32 (H, W) planes
+    in VMEM, so it supports exactly the geometries where that fits."""
+    return (
+        H % 8 == 0
+        and W % 128 == 0
+        and _RESIDENT_PLANES * H * W * 4 <= _RESIDENT_VMEM_LIMIT
+    )
+
+
+def _resident_kernel(niter_ref, ids_ref, cen_ref, o_ref, masks, *, H, W):
+    ids = ids_ref[...]
+    fg = ids > 0
+    cen = cen_ref[...] * fg.astype(jnp.float32)
+
+    iy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+
+    def rolled(x, dy, dx):
+        r = x
+        if dy:
+            r = pltpu.roll(r, (-dy) % H, axis=0)
+        if dx:
+            r = pltpu.roll(r, (-dx) % W, axis=1)
+        return r
+
+    # loop-invariant neighbor-match masks (the center shift (0,0) always
+    # matches itself — no mask needed). Border validity mirrors the XLA
+    # path's zero padding: a neighbor outside the image never matches.
+    k = 0
+    for dy, dx in _SHIFTS9:
+        if dy == 0 and dx == 0:
+            continue
+        nb_id = rolled(ids, dy, dx)
+        valid = (
+            (iy + dy >= 0) & (iy + dy < H) & (ix + dx >= 0) & (ix + dx < W)
+        )
+        masks[k] = ((nb_id == ids) & valid).astype(jnp.float32)
+        k += 1
+
+    fgf = fg
+    niter = niter_ref[0]
+
+    def body(_, T):
+        T = T + cen
+        acc = jnp.zeros((H, W), jnp.float32)
+        k = 0
+        for dy, dx in _SHIFTS9:
+            if dy == 0 and dx == 0:
+                acc = acc + T
+            else:
+                acc = acc + masks[k] * rolled(T, dy, dx)
+                k += 1
+        return jnp.where(fgf, acc / 9.0, 0.0)
+
+    o_ref[...] = jax.lax.fori_loop(
+        0, niter, body, jnp.zeros((H, W), jnp.float32)
+    )
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def diffuse_resident_pallas(
+    ids: jnp.ndarray,
+    center: jnp.ndarray,
+    niter: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Masked heat diffusion with the whole tile VMEM-resident.
+
+    Args: ids (H, W) int32 instance labels; center (H, W) f32 source
+    map; niter () int32 iteration count (may be traced). Returns T
+    (H, W) f32 after exactly ``niter`` iterations — bit-identical to
+    ``_diffuse_dyn(ids, center, niter)``. Unbatched by design: the QC
+    calls it under ``jax.vmap``, whose pallas batching rule turns the
+    batch into a grid dimension (per-tile ``niter`` rides along as a
+    batched SMEM scalar — pinned by
+    tests/test_diffusion_resident.py::test_vmap_batching).
+    """
+    H, W = ids.shape
+    assert resident_diffusion_supported(H, W), (H, W)
+    return pl.pallas_call(
+        partial(_resident_kernel, H=H, W=W),
+        out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (1,) niter
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((8, H, W), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_RESIDENT_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(jnp.reshape(niter, (1,)).astype(jnp.int32), ids.astype(jnp.int32),
+      center.astype(jnp.float32))
+
+
 def pallas_diffusion_available() -> bool:
     """True when the compiled kernel can run (TPU backend)."""
     try:

@@ -541,7 +541,7 @@ def qc_filter_masks_fused(
     flow_threshold: float = 0.4,
     max_size_fraction: float = 0.4,
     max_instances: int = 4096,
-    chunk: int = 8192,
+    chunk: int | None = None,
     dense_output: bool = False,
     window: int | None = None,
     return_window_ok: bool = False,
@@ -585,18 +585,32 @@ def qc_filter_masks_fused(
     """
     from classpose_tpu.dynamics.flows import _diffuse_dyn, grad_from_T
 
+    if chunk is None:
+        # The sweeps' cost has two parts: per-pixel one-hot work
+        # ∝ HW·window, and per-chunk-iteration FIXED cost (six fori
+        # loops of HW/chunk iterations each — loop bookkeeping, dynamic
+        # slices, K-table read-modify-writes). The r5 solo breakdown
+        # put the window-INDEPENDENT intercept at ~98 ms per 8×1024²
+        # batch with the original 8192-px (8-row) chunks — i.e. the
+        # iteration count, not the arithmetic, dominated. 32768-px
+        # (32-row) chunks quarter it; the id spread a window must cover
+        # grows with chunk rows (see window default below).
+        # CLASSPOSE_QC_CHUNK overrides.
+        chunk = int(os.environ.get("CLASSPOSE_QC_CHUNK", "32768"))
     if window is None:
-        # every sweep's work is linear in the window width; one 8192-px
-        # chunk is 8 image rows at 1024². Default 256 (r5): measured
-        # 134.9 vs 170.7 ms per 8x1024² batch against 512
-        # (tools/bench_gm_breakdown.py, design-field load, 1024
-        # inst/tile). Margin: dense ranks are raster-ordered, so the id
-        # spread in 8 rows ≈ cells whose seed lies within ~±cell-height
-        # of those rows — ~110 at the densest real histology (4000
-        # nuclei/Mpx, ~20 px cells); 128 measured marginally faster
-        # still (121.0) but leaves <20% headroom before the window_ok
-        # guard forces a full tile redo (a second forward pass), so
-        # 256 is the production point. CLASSPOSE_QC_WINDOW overrides.
+        # per-pixel sweep work is linear in the window width. Dense
+        # ranks are raster-ordered, so the ids present in one chunk ≈
+        # cells whose seed lies within ±cell-height of its rows: at the
+        # densest real histology basis (4000 nuclei/Mpx, ~12-16 px
+        # cells) a 32-row chunk spans ~(32+16)·3.9 ≈ 187 ids — window
+        # 256 covers it with ~37% margin. The window_ok guard is PER
+        # TILE: a pathological tile costs one scatter-QC redo of
+        # itself, not the batch. Measured (tools/bench_gm_breakdown.py,
+        # 8×1024² design-field load): chunk-8192 512/256/128 =
+        # 172.6/132.6/116.8 ms; chunk-32768 = 128.9/104.9/99.2 — the
+        # (32768, 256) default is 28 ms faster than the old
+        # (8192, 256) at equal density margins.
+        # CLASSPOSE_QC_WINDOW overrides.
         window = int(os.environ.get("CLASSPOSE_QC_WINDOW", "256"))
 
     H, W = raw.shape

@@ -242,7 +242,7 @@ def _resident_kernel(niter_ref, ids_ref, cen_ref, o_ref, masks, *, H, W):
         k += 1
 
     fgf = fg
-    niter = niter_ref[0]
+    niter = niter_ref[0, 0]
 
     def body(_, T):
         T = T + cen
@@ -285,7 +285,10 @@ def diffuse_resident_pallas(
         partial(_resident_kernel, H=H, W=W),
         out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # (1,) niter
+            # (1, 1) niter — 2-D so the Mosaic block-shape check passes
+            # when vmap batches it ((B, 1, 1) with block (None, 1, 1):
+            # trailing dims equal the array's; the 1-D form was rejected)
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -297,8 +300,8 @@ def diffuse_resident_pallas(
             vmem_limit_bytes=_RESIDENT_VMEM_LIMIT,
         ),
         interpret=interpret,
-    )(jnp.reshape(niter, (1,)).astype(jnp.int32), ids.astype(jnp.int32),
-      center.astype(jnp.float32))
+    )(jnp.reshape(niter, (1, 1)).astype(jnp.int32),
+      ids.astype(jnp.int32), center.astype(jnp.float32))
 
 
 def pallas_diffusion_available() -> bool:

@@ -113,7 +113,7 @@ def test_pipeline_multidevice_uses_sharded_path(tmp_path):
         devices=list(jax.devices()), tile_buckets=(64,), niter=8,
     )
     assert worker.sharded
-    assert worker.tile_batch == 8  # max(4, n_devices)
+    assert worker.tile_batch == 16  # max(8, 2·n_devices), r5 depth knobs
     assert int(model._mesh.devices.size) == 8
     # params replicated once over the mesh
     leaf = jax.tree_util.tree_leaves(model.params)[0]

@@ -172,10 +172,12 @@ def main():
 
     # Robust windowing (r5): identical code measured 2.32-3.85 tiles/s
     # across one day in r4 — the shared tunnel link swings 7-125 MB/s
-    # and one contended window can sink the scored median. Take 5
-    # windows of 5 batches; a window under 60% of the best-so-far is
-    # link contention, not compute — discard and re-measure it (bounded
-    # retry budget so a genuinely slow build still reports honestly).
+    # and one contended window can sink the scored median. Take 7
+    # windows of 5 batches (a mid-run sag of 2-3 windows then recovery
+    # was observed; 7 samples ride it out where 5 could not); a window
+    # under 60% of the best-so-far is link contention, not compute —
+    # discard and re-measure it (bounded retry budget so a genuinely
+    # slow build still reports honestly).
     def window(n_iters=5):
         t0 = time.time()
         futs = [pool.submit(run_once) for _ in range(n_iters)]
@@ -185,7 +187,7 @@ def main():
 
     rates: list[float] = []
     retries = 4
-    while len(rates) < 5:
+    while len(rates) < 7:
         r = window()
         best = max(rates, default=r)
         if rates and r < 0.6 * best and retries > 0:

@@ -345,28 +345,41 @@ def _stripe_bounds_int(fy, fx, H, W, R, D):
     f_lo_x = ox.min(axis=2)
     f_hi_x = ox.max(axis=2)
 
-    # window-combine over source stripes within reach of each output
-    # stripe (reach = ceil(D / R) stripes each way), then negate
-    k = -(-D // R)
-    pad = (k, k)
+    # combine over the source stripes that actually REACH each output
+    # stripe. The r5-era version unioned over every stripe within
+    # ±ceil(D/R) — at R=16/D=64 that is ±4 stripes regardless of
+    # content, which re-widened the ranges the small stripes had just
+    # tightened. Source stripe s deposits into output rows
+    # [s·R + f_lo_y[s], (s+1)·R − 1 + f_hi_y[s]]; masking the union by
+    # that interval keeps every needed offset (the bounds stay a
+    # superset of the true per-output-stripe ranges, so the kernel's
+    # skipped terms are exactly the all-zero selects) while stripes
+    # whose content never lands in r no longer widen r's loops.
     big = jnp.int32(D)
+    s_idx = jnp.arange(nR, dtype=jnp.int32)
+    lo_stripe = (s_idx[None, :] * R + f_lo_y) // R          # (B, nR)
+    hi_stripe = (s_idx[None, :] * R + R - 1 + f_hi_y) // R
+    r_idx = jnp.arange(nR, dtype=jnp.int32)
+    contrib = (
+        (lo_stripe[:, :, None] <= r_idx[None, None, :])
+        & (r_idx[None, None, :] <= hi_stripe[:, :, None])
+    )  # (B, nR_src, nR_out)
 
-    def wmin(a):
-        ap = jnp.pad(a, ((0, 0), pad), constant_values=big)
+    def cmin(a):
         return jnp.min(
-            jnp.stack([ap[:, j : j + nR] for j in range(2 * k + 1)]), 0
+            jnp.where(contrib, a[:, :, None], big), axis=1
         )
 
-    def wmax(a):
-        ap = jnp.pad(a, ((0, 0), pad), constant_values=-big)
+    def cmax(a):
         return jnp.max(
-            jnp.stack([ap[:, j : j + nR] for j in range(2 * k + 1)]), 0
+            jnp.where(contrib, a[:, :, None], -big), axis=1
         )
 
     bounds = jnp.stack(
-        [-wmax(f_hi_y), -wmin(f_lo_y), -wmax(f_hi_x), -wmin(f_lo_x)],
+        [-cmax(f_hi_y), -cmin(f_lo_y), -cmax(f_hi_x), -cmin(f_lo_x)],
         axis=2,
-    )  # (B, nR, 4): d ranges [lo, hi] per axis
+    )  # (B, nR, 4): d ranges [lo, hi] per axis; un-reached output
+    # stripes get an empty [D, -D] range (zero kernel iterations)
     return bounds, ok
 
 

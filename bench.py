@@ -119,7 +119,7 @@ def main():
     # host tail (readback unpack, relabel, QC redo checks) runs. Here a
     # bounded depth-2 uploader queue plays the stream thread's role.
     # The shared tunnel has ~±10% run-to-run variance: report the
-    # median of three windows.
+    # median of seven windows with contention-retry (below).
     import queue
     import threading
     from concurrent.futures import ThreadPoolExecutor

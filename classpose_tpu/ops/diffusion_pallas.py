@@ -182,9 +182,14 @@ def diffuse_pallas(
 # ENTIRE tile fits in VMEM (a v5e core has 128 MB), so this kernel DMAs
 # nothing between iterations: ids/center/T stay resident and the 9
 # neighbor-match masks — loop-invariant — are materialized once in
-# scratch. The XLA stencil re-streams T + ids from HBM every iteration
-# (~1 ms/iter for an 8×1024² batch, 67 ms of the fused QC at horizon 64,
-# r5 trace); here an iteration is 9 static rolls + FMAs over VMEM.
+# scratch. The XLA stencil re-streams T + ids from HBM every iteration;
+# here an iteration is 9 static rolls + FMAs over VMEM. Measured
+# honestly (CLASSPOSE_PALLAS_DIFFUSION A/B in the fused QC): ~2 ms per
+# 8×1024² batch at the production horizon ~80 — XLA's fused stencil was
+# already cheap there, and the trace op that suggested ~67 ms was the
+# histogram's conditional, not the diffusion. The kernel's margin grows
+# with the horizon (it removes O(niter) HBM passes), so it stays the
+# TPU default.
 #
 # Exactness: the accumulation reproduces _diffuse_dyn's term order
 # (Σ over _SHIFTS9, /9.0, where(fg)); masks are exactly 0/1 f32 so
